@@ -1,0 +1,370 @@
+"""Occupancy-grid transmittance estimator (Instant-NGP style spatial skipping).
+
+Parity target: ``nerfacc/estimators/occ_grid.py`` — multi-level 2x-nested
+binary grids, EMA-max occupancy updates, frustum-visibility marking, and
+``sampling()`` with optional density-based visibility filtering.
+
+TPU design:
+- Estimator state (``occs``, ``binaries``, ``aabbs``) is an immutable pytree
+  (:class:`OccGridState`); all methods are pure and jittable.
+- ``sampling()`` returns *static-capacity* flat arrays ``(ray_indices,
+  t_starts, t_ends, is_valid)`` instead of exact-size tensors; invalid slots
+  carry ``t_start == t_end`` and are exact no-ops downstream.
+- RNG uses explicit ``jax.random`` keys instead of CUDA Philox
+  (``occ_grid.py:162-163`` stratified jitter, ``:385-392`` cell jitter).
+- The EMA update uses scatter-max (associative), which also makes the
+  multi-chip merge a plain element-wise ``max`` collective (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..grid import _enlarge_aabb, num_ladder_steps, traverse_grids
+from ..volrend import (
+    render_visibility_from_alpha,
+    render_visibility_from_density,
+)
+from .base import AbstractEstimator
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class OccGridState:
+    """Pytree state of :class:`OccGridEstimator`.
+
+    ``occs`` holds per-cell EMA occupancy (``-1`` marks camera-invisible
+    cells); ``binaries`` the thresholded boolean grid per level.
+    """
+
+    aabbs: Array  # (levels, 6)
+    occs: Array  # (levels * cells_per_lvl,)
+    binaries: Array  # (levels, rx, ry, rz) bool
+
+
+class OccGridEstimator(AbstractEstimator):
+    """Occupancy grid estimator; parity with ``occ_grid.py:14-83``.
+
+    Args:
+        roi_aabb: region-of-interest box, 6 floats.
+        resolution: grid resolution (int or 3 ints). Default 128.
+        levels: number of 2x-nested levels. Default 1.
+    """
+
+    DIM: int = 3
+
+    def __init__(
+        self,
+        roi_aabb: Union[Sequence[float], np.ndarray],
+        resolution: Union[int, Sequence[int]] = 128,
+        levels: int = 1,
+    ) -> None:
+        if isinstance(resolution, int):
+            resolution = [resolution] * self.DIM
+        resolution = tuple(int(r) for r in resolution)
+        assert len(resolution) == self.DIM
+        roi_aabb = np.asarray(roi_aabb, dtype=np.float32)
+        assert roi_aabb.shape[0] == self.DIM * 2
+
+        self.resolution = resolution
+        self.levels = int(levels)
+        self.cells_per_lvl = int(np.prod(resolution))
+        self.roi_aabb = roi_aabb
+        # Multi-level 2x-enlarged AABBs (static numpy; occ_grid.py:57-60).
+        self._aabbs_np = np.stack(
+            [np.asarray(_enlarge_aabb(roi_aabb, 2**i)) for i in range(levels)]
+        )
+        # Static scene extent for sizing the traversal lattice.
+        outer = self._aabbs_np[-1]
+        self.max_t_range = float(np.linalg.norm(outer[3:] - outer[:3]))
+
+        # Cell-center integer coords, shared across levels (occ_grid.py:76-83).
+        gx, gy, gz = np.meshgrid(
+            np.arange(resolution[0]),
+            np.arange(resolution[1]),
+            np.arange(resolution[2]),
+            indexing="ij",
+        )
+        self._grid_coords_np = np.stack([gx, gy, gz], axis=-1).reshape(
+            self.cells_per_lvl, self.DIM
+        ).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def init(self) -> OccGridState:
+        return OccGridState(
+            aabbs=jnp.asarray(self._aabbs_np),
+            occs=jnp.zeros((self.levels * self.cells_per_lvl,), jnp.float32),
+            binaries=jnp.zeros((self.levels,) + self.resolution, bool),
+        )
+
+    # ------------------------------------------------------------------
+    def sampling(
+        self,
+        state: OccGridState,
+        rays_o: Array,
+        rays_d: Array,
+        sigma_fn: Optional[Callable] = None,
+        alpha_fn: Optional[Callable] = None,
+        near_plane: float = 0.0,
+        far_plane: float = 1e10,
+        t_min: Optional[Array] = None,
+        t_max: Optional[Array] = None,
+        render_step_size: float = 1e-3,
+        early_stop_eps: float = 1e-4,
+        alpha_thre: float = 0.0,
+        stratified: bool = False,
+        cone_angle: float = 0.0,
+        key: Optional[jax.Array] = None,
+        max_samples: Optional[int] = None,
+    ) -> Tuple[Array, Array, Array, Array]:
+        """Sample along rays with empty-space skipping.
+
+        Parity: ``occ_grid.py:85-221``.  Returns flat static-capacity arrays
+        ``(ray_indices, t_starts, t_ends, is_valid)`` where the flat length is
+        ``n_rays * capacity`` (row-major).  The per-ray capacity defaults to a
+        lattice covering the scene extent; pass ``max_samples`` to bound it
+        (== the reference's ``traverse_steps_limit``).
+
+        Not differentiable (wrap calls in ``stop_gradient`` contexts).
+        """
+        n_rays = rays_o.shape[0]
+        near_planes = jnp.full((n_rays,), near_plane, rays_o.dtype)
+        far_planes = jnp.full((n_rays,), far_plane, rays_o.dtype)
+        if t_min is not None:
+            near_planes = jnp.maximum(near_planes, t_min)
+        if t_max is not None:
+            far_planes = jnp.minimum(far_planes, t_max)
+        if stratified:
+            assert key is not None, "stratified sampling requires a PRNG key"
+            near_planes = near_planes + (
+                jax.random.uniform(key, (n_rays,), rays_o.dtype)
+                * render_step_size
+            )
+
+        lattice = num_ladder_steps(
+            self.max_t_range, render_step_size, cone_angle, near=near_plane
+        )
+        capacity = max_samples or lattice
+
+        res = traverse_grids(
+            rays_o,
+            rays_d,
+            state.binaries,
+            state.aabbs,
+            near_planes=near_planes,
+            far_planes=far_planes,
+            step_size=render_step_size,
+            cone_angle=cone_angle,
+            traverse_steps_limit=capacity,
+            max_lattice_steps=lattice,
+            base_aabb=state.aabbs[0],
+        )
+
+        t_starts = res.t_starts.reshape(-1)
+        t_ends = res.t_ends.reshape(-1)
+        is_valid = res.is_valid.reshape(-1)
+        ray_indices = jnp.repeat(
+            jnp.arange(n_rays, dtype=jnp.int32), capacity
+        )
+
+        # Visibility filtering by querying the user's field (occ_grid.py:180-220).
+        if (alpha_thre > 0.0 or early_stop_eps > 0.0) and (
+            sigma_fn is not None or alpha_fn is not None
+        ):
+            alpha_thre_t = jnp.minimum(alpha_thre, jnp.mean(state.occs))
+            if sigma_fn is not None:
+                sigmas = sigma_fn(t_starts, t_ends, ray_indices)
+                sigmas = jnp.where(is_valid, sigmas, 0.0)
+                masks = render_visibility_from_density(
+                    t_starts=t_starts,
+                    t_ends=t_ends,
+                    sigmas=sigmas,
+                    ray_indices=ray_indices,
+                    early_stop_eps=early_stop_eps,
+                    alpha_thre=alpha_thre_t,
+                )
+            else:
+                alphas = alpha_fn(t_starts, t_ends, ray_indices)
+                alphas = jnp.where(is_valid, alphas, 0.0)
+                masks = render_visibility_from_alpha(
+                    alphas=alphas,
+                    ray_indices=ray_indices,
+                    early_stop_eps=early_stop_eps,
+                    alpha_thre=alpha_thre_t,
+                )
+            # Drop invisible samples: collapse their interval (dt -> 0).
+            is_valid = is_valid & masks
+            t_ends = jnp.where(is_valid, t_ends, t_starts)
+
+        t_starts = jax.lax.stop_gradient(t_starts)
+        t_ends = jax.lax.stop_gradient(t_ends)
+        return ray_indices, t_starts, t_ends, is_valid
+
+    # ------------------------------------------------------------------
+    def update_every_n_steps(
+        self,
+        state: OccGridState,
+        step: int,
+        occ_eval_fn: Callable,
+        key: jax.Array,
+        occ_thre: float = 1e-2,
+        ema_decay: float = 0.95,
+        warmup_steps: int = 256,
+        n: int = 16,
+    ) -> OccGridState:
+        """EMA update the grid every ``n`` steps (``occ_grid.py:223-259``).
+
+        ``step`` is a host-side python int (the train loop owns the schedule),
+        so the every-n check costs nothing under jit.
+        """
+        if step % n == 0:
+            return self._update(
+                state,
+                step=step,
+                occ_eval_fn=occ_eval_fn,
+                key=key,
+                occ_thre=occ_thre,
+                ema_decay=ema_decay,
+                warmup_steps=warmup_steps,
+            )
+        return state
+
+    def _update(
+        self,
+        state: OccGridState,
+        step: int,
+        occ_eval_fn: Callable,
+        key: jax.Array,
+        occ_thre: float = 1e-2,
+        ema_decay: float = 0.95,
+        warmup_steps: int = 256,
+    ) -> OccGridState:
+        """One EMA update (``occ_grid.py:366-404``).
+
+        Warmup (step < warmup_steps): evaluate every cell of every level.
+        After: per level, 1/4-of-cells uniform + 1/4 occupancy-weighted cells
+        (reference: uniform over occupied; here a categorical over the binary
+        mask — uniform over occupied cells, uniform over all if none occupied).
+        """
+        grid_coords = jnp.asarray(self._grid_coords_np)
+        resolution = jnp.asarray(self.resolution, jnp.float32)
+        occs = state.occs
+
+        if step < warmup_steps:
+            lvl_indices = [
+                jnp.arange(self.cells_per_lvl, dtype=jnp.int32)
+                for _ in range(self.levels)
+            ]
+        else:
+            n_cells = self.cells_per_lvl // 4
+            lvl_indices = []
+            for lvl in range(self.levels):
+                key, k_uni, k_occ = jax.random.split(key, 3)
+                uniform_idx = jax.random.randint(
+                    k_uni, (n_cells,), 0, self.cells_per_lvl, jnp.int32
+                )
+                occ_mask = state.binaries[lvl].reshape(-1)
+                logits = jnp.where(occ_mask, 0.0, -1e9)
+                occupied_idx = jax.random.categorical(
+                    k_occ, logits, shape=(n_cells,)
+                ).astype(jnp.int32)
+                # If nothing is occupied yet the categorical degenerates to
+                # uniform-over-all, which is a harmless fallback.
+                lvl_indices.append(
+                    jnp.concatenate([uniform_idx, occupied_idx])
+                )
+
+        for lvl, indices in enumerate(lvl_indices):
+            key, k_jit = jax.random.split(key)
+            coords = grid_coords[indices]
+            x = (
+                coords
+                + jax.random.uniform(k_jit, coords.shape, jnp.float32)
+            ) / resolution
+            aabb = state.aabbs[lvl]
+            x = aabb[:3] + x * (aabb[3:] - aabb[:3])
+            occ = occ_eval_fn(x).reshape(-1)
+
+            cell_ids = lvl * self.cells_per_lvl + indices
+            # Scatter-max EMA (associative; dedups repeated indices).
+            proposed = jnp.zeros_like(occs).at[cell_ids].max(occ)
+            touched = (
+                jnp.zeros(occs.shape, bool).at[cell_ids].set(True)
+            )
+            # Never resurrect camera-invisible cells (marked -1).
+            touched = touched & (occs >= 0.0)
+            occs = jnp.where(
+                touched, jnp.maximum(occs * ema_decay, proposed), occs
+            )
+
+        visible = occs >= 0.0
+        mean_occ = jnp.sum(jnp.where(visible, occs, 0.0)) / jnp.maximum(
+            jnp.sum(visible.astype(jnp.float32)), 1.0
+        )
+        thre = jnp.minimum(mean_occ, occ_thre)
+        binaries = (occs > thre).reshape(state.binaries.shape)
+        return state.replace(occs=occs, binaries=binaries)
+
+    # ------------------------------------------------------------------
+    def mark_invisible_cells(
+        self,
+        state: OccGridState,
+        K: Array,  # (N, 3, 3) or (1, 3, 3)
+        c2w: Array,  # (N, 3, 4) or (N, 4, 4)
+        width: int,
+        height: int,
+        near_plane: float = 0.0,
+    ) -> OccGridState:
+        """Mark cells outside every camera frustum with occupancy -1.
+
+        Parity: ``occ_grid.py:262-332``.  Fully vectorized over (cells, cams);
+        XLA tiles the (N_cams, 3, cells) matmuls onto the MXU, so no host-side
+        chunking is needed.
+        """
+        K = jnp.asarray(K, jnp.float32)
+        c2w = jnp.asarray(c2w, jnp.float32)
+        assert K.ndim == 3 and K.shape[1:] == (3, 3)
+        assert c2w.ndim == 3 and c2w.shape[1] in (3, 4)
+
+        n_cams = c2w.shape[0]
+        w2c_R = jnp.swapaxes(c2w[:, :3, :3], 1, 2)  # (N, 3, 3)
+        w2c_T = -w2c_R @ c2w[:, :3, 3:]  # (N, 3, 1)
+
+        grid_coords = jnp.asarray(self._grid_coords_np)
+        res_minus1 = jnp.asarray(
+            [r - 1 for r in self.resolution], jnp.float32
+        )
+        occs = state.occs
+
+        for lvl in range(self.levels):
+            x = grid_coords / res_minus1  # (cells, 3) in [0, 1]
+            aabb = state.aabbs[lvl]
+            xyzs_w = (aabb[:3] + x * (aabb[3:] - aabb[:3])).T  # (3, cells)
+            xyzs_c = w2c_R @ xyzs_w + w2c_T  # (N, 3, cells)
+            uvd = K @ xyzs_c  # (N, 3, cells)
+            uv = uvd[:, :2] / uvd[:, 2:]  # (N, 2, cells)
+            in_image = (
+                (uvd[:, 2] >= 0)
+                & (uv[:, 0] >= 0)
+                & (uv[:, 0] < width)
+                & (uv[:, 1] >= 0)
+                & (uv[:, 1] < height)
+            )
+            covered = (uvd[:, 2] >= near_plane) & in_image  # (N, cells)
+            count = covered.sum(axis=0) / n_cams
+            too_near = ((uvd[:, 2] < near_plane) & in_image).any(axis=0)
+            valid_mask = (count > 0) & (~too_near)
+
+            base = lvl * self.cells_per_lvl
+            cell_ids = base + jnp.arange(self.cells_per_lvl)
+            occs = occs.at[cell_ids].set(jnp.where(valid_mask, 0.0, -1.0))
+
+        return state.replace(occs=occs)

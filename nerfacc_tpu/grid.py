@@ -1,0 +1,270 @@
+"""Multi-level occupancy-grid ray traversal (vectorized, static shapes).
+
+Parity target: ``nerfacc/grid.py`` (``ray_aabb_intersect``, ``traverse_grids``,
+``_enlarge_aabb``, ``_query``) and the CUDA DDA kernel
+``nerfacc/cuda/csrc/grid.cu:68-275``.
+
+TPU design: the CUDA kernel is a per-ray *serial* Amanatides–Woo DDA with a
+data-dependent output size (two-pass count/allocate/fill,
+``grid.cu:405-471``).  Neither serial per-ray loops nor dynamic shapes map to
+XLA, so traversal is reformulated as a fully vectorized two-stage pipeline
+that preserves the sampling semantics:
+
+1. **Ladder**: the reference's marching positions obey
+   ``t_{k+1} = t_k + clamp(t_k * cone_angle, step_size, inf)``
+   (``grid.cu:23-28``), which has a closed form — linear spacing until
+   ``t = step_size/cone_angle``, geometric with ratio ``1+cone`` after.  We
+   materialize the whole ladder (a static number of steps) for every ray.
+2. **Query + compact**: each ladder midpoint is tested against the multi-level
+   binary grid via the mip-selection rule of ``_query``
+   (``nerfacc/grid.py:201-237``); valid samples are compacted left within each
+   ray row by a cumsum + scatter (the vectorized equivalent of the CUDA
+   count/fill passes), into a ``(n_rays, max_samples)`` buffer with an
+   ``is_valid`` mask.
+
+Divergence from CUDA (documented): when skipping long empty stretches with
+``cone_angle > 0`` the CUDA kernel reuses a stale ``dt`` during the skip loop,
+slightly desynchronizing its ladder; ours stays on the closed-form ladder.
+Sample *placement in occupied cells* — the estimator contract checked by
+``tests/test_grid.py:39-68`` — is preserved.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+__all__ = [
+    "ray_aabb_intersect",
+    "traverse_grids",
+    "TraversalResults",
+]
+
+
+def ray_aabb_intersect(
+    rays_o: Array,
+    rays_d: Array,
+    aabbs: Array,
+    near_plane: float = -float("inf"),
+    far_plane: float = float("inf"),
+    miss_value: float = float("inf"),
+) -> Tuple[Array, Array, Array]:
+    """Slab-test intersection of each ray against each AABB.
+
+    Parity: ``nerfacc/grid.py:13-51`` / ``grid.cu:284-313``.  Embarrassingly
+    parallel; pure jnp broadcasting (no kernel needed — XLA fuses this).
+
+    Returns ``(t_mins, t_maxs, hits)`` each of shape ``(n_rays, m)``.
+    """
+    assert rays_o.ndim == 2 and rays_o.shape[-1] == 3
+    assert rays_d.ndim == 2 and rays_d.shape[-1] == 3
+    assert aabbs.ndim == 2 and aabbs.shape[-1] == 6
+
+    aabb_min = aabbs[:, :3]  # (m, 3)
+    aabb_max = aabbs[:, 3:]
+
+    inv_d = 1.0 / rays_d  # inf-safe: IEEE gives +-inf, min/max handle it
+    t1 = (aabb_min[None, :, :] - rays_o[:, None, :]) * inv_d[:, None, :]
+    t2 = (aabb_max[None, :, :] - rays_o[:, None, :]) * inv_d[:, None, :]
+
+    t_mins = jnp.max(jnp.minimum(t1, t2), axis=-1)
+    t_maxs = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hits = (t_maxs > t_mins) & (t_maxs > 0)
+
+    t_mins = jnp.clip(t_mins, min=near_plane, max=far_plane)
+    t_maxs = jnp.clip(t_maxs, min=near_plane, max=far_plane)
+    t_mins = jnp.where(hits, t_mins, miss_value)
+    t_maxs = jnp.where(hits, t_maxs, miss_value)
+    return t_mins, t_maxs, hits
+
+
+def _enlarge_aabb(aabb, factor: float):
+    """Scale an aabb about its center (``nerfacc/grid.py:195-198``)."""
+    aabb = jnp.asarray(aabb)
+    center = (aabb[:3] + aabb[3:]) / 2
+    extent = (aabb[3:] - aabb[:3]) / 2
+    return jnp.concatenate([center - extent * factor, center + extent * factor])
+
+
+def _query(x: Array, data: Array, base_aabb: Array) -> Tuple[Array, Array]:
+    """Mip-level occupancy lookup for points in a 2x-nested multi-level grid.
+
+    Parity: ``nerfacc/grid.py:201-237``.  ``data`` is ``(m, rx, ry, rz)``;
+    ``base_aabb`` the level-0 box.  Returns ``(values, selector)`` where
+    ``selector`` marks points inside the outermost level.
+    """
+    aabb_min, aabb_max = base_aabb[:3], base_aabb[3:]
+    x_norm = (x - aabb_min) / (aabb_max - aabb_min)
+
+    maxval = jnp.max(jnp.abs(x_norm - 0.5), axis=-1)
+    # frexp of ~0 yields exponent 0; clamp as the reference does.
+    maxval = jnp.clip(maxval, min=0.1)
+
+    _, exponent = jnp.frexp(maxval)
+    mip = jnp.clip(exponent + 1, min=0)
+    selector = mip < data.shape[0]
+
+    scale = jnp.exp2(mip.astype(x.dtype))
+    x_unit = (x_norm - 0.5) / scale[..., None] + 0.5
+
+    resolution = jnp.asarray(data.shape[1:], dtype=jnp.int32)
+    ix = (x_unit * resolution).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, resolution - 1)
+    mip_c = jnp.clip(mip, max=data.shape[0] - 1)
+
+    vals = data[mip_c, ix[..., 0], ix[..., 1], ix[..., 2]]
+    return vals * selector, selector
+
+
+def _march_ladder(
+    near: Array, n_edges: int, step_size: float, cone_angle: float
+) -> Array:
+    """Closed form of the reference's marching recurrence ``_calc_dt``
+    (``grid.cu:23-28``): ``t_{k+1} = t_k + clamp(t_k*cone, step, inf)``.
+
+    Returns edge positions of shape ``near.shape + (n_edges,)``.
+    """
+    k = jnp.arange(n_edges, dtype=near.dtype)
+    if cone_angle <= 0.0:
+        return near[..., None] + k * step_size
+    t_switch = step_size / cone_angle
+    k_sw = jnp.ceil(jnp.maximum(t_switch - near, 0.0) / step_size)
+    t_lin = near[..., None] + k * step_size
+    t_at_sw = near + k_sw * step_size
+    t_geo = t_at_sw[..., None] * jnp.power(
+        1.0 + cone_angle, k - k_sw[..., None]
+    )
+    return jnp.where(k <= k_sw[..., None], t_lin, t_geo)
+
+
+def num_ladder_steps(
+    t_range: float, step_size: float, cone_angle: float, near: float = 0.0
+) -> int:
+    """Static upper bound on ladder steps needed to cover ``t_range`` from
+    ``near`` (host-side helper for choosing the lattice length)."""
+    if cone_angle <= 0.0:
+        return max(1, int(math.ceil(t_range / step_size)))
+    t_switch = step_size / cone_angle
+    far = near + t_range
+    n_lin = max(0.0, math.ceil((t_switch - near) / step_size))
+    t_at_sw = near + n_lin * step_size
+    if far <= t_at_sw:
+        return max(1, int(math.ceil(t_range / step_size)))
+    n_geo = math.ceil(
+        math.log(max(far, 1e-9) / max(t_at_sw, step_size))
+        / math.log1p(cone_angle)
+    )
+    return max(1, int(n_lin + max(0.0, n_geo) + 2))
+
+
+class TraversalResults(NamedTuple):
+    """Dense traversal output (the TPU replacement for the reference's packed
+    ``RayIntervals``/``RaySamples`` pair; see module docstring)."""
+
+    t_starts: Array  # (n_rays, max_samples)
+    t_ends: Array  # (n_rays, max_samples)
+    is_valid: Array  # (n_rays, max_samples) bool
+    termination_planes: Array  # (n_rays,)
+    num_valid: Array  # (n_rays,) int32 — samples emitted (capped at capacity)
+
+
+def traverse_grids(
+    rays_o: Array,  # (n_rays, 3)
+    rays_d: Array,  # (n_rays, 3)
+    binaries: Array,  # (m, rx, ry, rz) bool
+    aabbs: Array,  # (m, 6)
+    near_planes: Optional[Array] = None,
+    far_planes: Optional[Array] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    traverse_steps_limit: Optional[int] = None,
+    rays_mask: Optional[Array] = None,
+    *,
+    max_lattice_steps: int = 1024,
+    base_aabb: Optional[Array] = None,
+) -> TraversalResults:
+    """Vectorized multi-level grid traversal (see module docstring).
+
+    Parity: ``nerfacc/grid.py:93-192`` + ``grid.cu`` kernel, over-allocate
+    semantics (``grid.cu:364-404``): outputs have the static capacity
+    ``traverse_steps_limit`` (default ``max_lattice_steps``) with ``is_valid``
+    masking; invalid slots carry ``t_start == t_end`` so they are exact no-ops
+    in the density rendering path.
+
+    ``max_lattice_steps`` is the static number of marching steps evaluated per
+    ray (choose via :func:`num_ladder_steps` to cover the scene extent).
+    ``base_aabb`` defaults to ``aabbs[0]`` (levels are assumed 2x-nested, as
+    produced by :class:`~nerfacc_tpu.estimators.occ_grid.OccGridEstimator`).
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    capacity = traverse_steps_limit or max_lattice_steps
+
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+    if base_aabb is None:
+        base_aabb = aabbs[0]
+
+    # Clamp the march window to the outermost grid's extent.
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_enter = jnp.min(jnp.where(hits, t_mins, jnp.inf), axis=-1)
+    t_exit = jnp.max(jnp.where(hits, t_maxs, -jnp.inf), axis=-1)
+    any_hit = jnp.any(hits, axis=-1)
+
+    near = jnp.maximum(near_planes, 0.0)
+    far = jnp.minimum(far_planes, jnp.where(any_hit, t_exit, near_planes))
+    if rays_mask is not None:
+        any_hit = any_hit & rays_mask
+
+    # Stage 1: ladder + occupancy query.
+    edges = _march_ladder(near, max_lattice_steps + 1, step_size, cone_angle)
+    t0 = edges[:, :-1]  # (n_rays, L)
+    t1 = edges[:, 1:]
+    t_mid = (t0 + t1) * 0.5
+
+    x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    occ, _ = _query(x, binaries, base_aabb)
+
+    inside = (t_mid >= jnp.maximum(near, t_enter)[:, None]) & (
+        t_mid < far[:, None]
+    )
+    valid = occ & inside & any_hit[:, None]
+
+    # Stage 2: per-row compaction (count pass + fill pass, vectorized).
+    vcum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    slot = jnp.where(valid & (vcum <= capacity), vcum - 1, capacity)
+    rows = jnp.arange(n_rays, dtype=jnp.int32)[:, None]
+    rows = jnp.broadcast_to(rows, slot.shape)
+
+    zeros = jnp.zeros((n_rays, capacity), dtype)
+    t_starts = zeros.at[rows, slot].set(t0, mode="drop")
+    t_ends = zeros.at[rows, slot].set(t1, mode="drop")
+
+    num_valid = jnp.minimum(vcum[:, -1], capacity)
+    is_valid = jnp.arange(capacity, dtype=jnp.int32) < num_valid[:, None]
+
+    # Termination plane: where marching stopped (``grid.cu:274-275``) —
+    # the end of the last emitted sample when the capacity was hit, else the
+    # effective far plane.
+    hit_cap = vcum[:, -1] >= capacity
+    last_end = jnp.max(t_ends, axis=-1)
+    term = jnp.where(hit_cap, last_end, jnp.maximum(far, near))
+
+    # Park invalid slots at t_start == t_end == termination (exact no-ops).
+    t_starts = jnp.where(is_valid, t_starts, term[:, None])
+    t_ends = jnp.where(is_valid, t_ends, term[:, None])
+
+    return TraversalResults(
+        t_starts=t_starts,
+        t_ends=t_ends,
+        is_valid=is_valid,
+        termination_planes=term,
+        num_valid=num_valid,
+    )

@@ -1,0 +1,131 @@
+"""Inverse-CDF importance sampling and segmented searchsorted.
+
+Parity target: ``nerfacc/pdf.py`` + ``nerfacc/cuda/csrc/pdf.cu``.
+
+TPU design: the CUDA kernels are per-output binary searches; here each ray row
+is a vectorized ``jnp.searchsorted`` under ``vmap`` (XLA lowers batched
+searchsorted to parallel compares — no kernel needed).  Per-ray Philox jitter
+(``pdf.cu:138-145``) becomes a ``jax.random`` per-ray uniform draw.
+
+The primary layout is batched ``(n_rays, n_edges)`` (that is all the PropNet
+estimator uses — ``prop_net.py:96-120``); the flat layout delegates per-ray
+via gather/scatter with static capacities.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .data_specs import RayIntervals, RaySamples
+
+Array = jnp.ndarray
+
+__all__ = ["searchsorted", "importance_sampling"]
+
+
+def _searchsorted_clamped(sorted_vals: Array, values: Array) -> Tuple[Array, Array]:
+    """Row-wise upper-bound with the reference's clamping.
+
+    Implements ``pdf.cu:245-286``: ``p = upper_bound(row[:-1], v)`` then
+    ``ids_left = max(p-1, 0)``, ``ids_right = min(p, n-1)``.  Both arrays are
+    ``(..., n)``; returns per-row indices.
+    """
+    n = sorted_vals.shape[-1]
+
+    def row(a, v):
+        p = jnp.searchsorted(a, v, side="right")
+        p = jnp.minimum(p, n - 1)
+        return jnp.maximum(p - 1, 0), p
+
+    flat_a = sorted_vals.reshape((-1, n))
+    flat_v = values.reshape((-1, values.shape[-1]))
+    ids_l, ids_r = jax.vmap(row)(flat_a, flat_v)
+    ids_l = ids_l.reshape(values.shape)
+    ids_r = ids_r.reshape(values.shape)
+    return ids_l, ids_r
+
+
+def searchsorted(
+    sorted_sequence: Union[RayIntervals, RaySamples],
+    values: Union[RayIntervals, RaySamples],
+) -> Tuple[Array, Array]:
+    """Segmented searchsorted (``nerfacc/pdf.py:13-62``).
+
+    Returns ``(ids_left, ids_right)`` with
+    ``sorted.vals[..., ids_left] <= values.vals < sorted.vals[..., ids_right]``
+    (clamped to the valid range).  Batched mode returns per-row indices,
+    suitable for ``take_along_axis``.
+    """
+    assert sorted_sequence.is_batched and values.is_batched, (
+        "flat searchsorted not yet implemented; use batched (n_rays, n) layout"
+    )
+    return _searchsorted_clamped(sorted_sequence.vals, values.vals)
+
+
+def importance_sampling(
+    intervals: RayIntervals,
+    cdfs: Array,
+    n_intervals_per_ray: int,
+    stratified: bool = False,
+    key: Optional[jax.Array] = None,
+) -> Tuple[RayIntervals, RaySamples]:
+    """Inverse-transform resampling of intervals given CDF values at edges.
+
+    Parity: ``nerfacc/pdf.py:65-131`` batched overload
+    (``pdf.cu:359-421`` + ``importance_sampling_kernel`` /
+    ``compute_intervels_kernel``).  ``n_intervals_per_ray`` must be a static
+    int (the Tensor-per-ray variant is served by the static capacity + mask
+    layout elsewhere).
+
+    Returns ``(intervals (n_rays, n+1), samples (n_rays, n))``.
+    """
+    assert intervals.is_batched, "flat importance_sampling: use batched layout"
+    vals = intervals.vals  # (n_rays, n_edges)
+    n_rays = vals.shape[0]
+    n = int(n_intervals_per_ray)
+
+    u_floor = cdfs[:, :1]
+    u_ceil = cdfs[:, -1:]
+    u_step = (u_ceil - u_floor) / n
+
+    if stratified:
+        assert key is not None, "stratified sampling requires a PRNG key"
+        bias = jax.random.uniform(key, (n_rays, 1), vals.dtype)
+    else:
+        bias = jnp.full((n_rays, 1), 0.5, vals.dtype)
+    sid = jnp.arange(n, dtype=vals.dtype)
+    u = u_floor + (sid + bias) * u_step  # (n_rays, n)
+
+    p0, p1 = _searchsorted_clamped(cdfs, u)
+    u_lower = jnp.take_along_axis(cdfs, p0, axis=-1)
+    u_upper = jnp.take_along_axis(cdfs, p1, axis=-1)
+    t_lower = jnp.take_along_axis(vals, p0, axis=-1)
+    t_upper = jnp.take_along_axis(vals, p1, axis=-1)
+
+    du = u_upper - u_lower
+    # Degenerate CDF span -> midpoint (pdf.cu:157-160).
+    t = jnp.where(
+        du < 1e-10,
+        (t_lower + t_upper) * 0.5,
+        (u - u_lower) * (t_upper - t_lower) / jnp.where(du < 1e-10, 1.0, du)
+        + t_lower,
+    )  # (n_rays, n)
+
+    # Interval edges = midpoints between samples, clamped ends
+    # (compute_intervels_kernel, pdf.cu:169-241).
+    t_min = vals[:, :1]
+    t_max = vals[:, -1:]
+    if n >= 2:
+        mids = (t[:, 1:] + t[:, :-1]) * 0.5
+        first = jnp.maximum(t[:, :1] - (t[:, 1:2] - t[:, :1]) * 0.5, t_min)
+        last = jnp.minimum(t[:, -1:] + (t[:, -1:] - t[:, -2:-1]) * 0.5, t_max)
+        edges = jnp.concatenate([first, mids, last], axis=-1)
+    else:
+        edges = jnp.concatenate(
+            [jnp.maximum(t, t_min), jnp.minimum(t, t_max)], axis=-1
+        )
+
+    return RayIntervals(vals=edges), RaySamples(vals=t)
