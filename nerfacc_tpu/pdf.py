@@ -129,3 +129,73 @@ def importance_sampling(
         )
 
     return RayIntervals(vals=edges), RaySamples(vals=t)
+
+
+def _sample_from_weighted(
+    bins: Array,
+    weights: Array,
+    num_samples: int,
+    stratified: bool = False,
+    vmin: float = -jnp.inf,
+    vmax: float = jnp.inf,
+    key: Optional[jax.Array] = None,
+) -> Tuple[Array, Array]:
+    """Pure reference oracle (``nerfacc/pdf.py:134-219``): inverse-CDF
+    sampling from a weighted histogram.  Returns ``(edges (..., S+1),
+    centers (..., S))``."""
+    b = weights.shape[-1]
+    s = num_samples
+    assert bins.shape[-1] == b + 1
+    eps = jnp.finfo(weights.dtype).eps
+
+    pdf = weights / jnp.clip(
+        jnp.sum(jnp.abs(weights), axis=-1, keepdims=True), min=eps
+    )
+    cdf = jnp.concatenate(
+        [
+            jnp.zeros_like(pdf[..., :1]),
+            jnp.cumsum(pdf[..., :-1], axis=-1),
+            jnp.ones_like(pdf[..., :1]),
+        ],
+        axis=-1,
+    )
+
+    if not stratified:
+        pad = 1 / (2 * s)
+        u = jnp.linspace(pad, 1 - pad - eps, s, dtype=bins.dtype)
+        u = jnp.broadcast_to(u, bins.shape[:-1] + (s,))
+    else:
+        assert key is not None
+        u_max = eps + (1 - eps) / s
+        max_jitter = (1 - u_max) / (s - 1) - eps
+        u = jnp.linspace(0, 1 - u_max, s, dtype=bins.dtype) + (
+            jax.random.uniform(key, bins.shape[:-1] + (1,), bins.dtype)
+            * max_jitter
+        )
+
+    n = cdf.shape[-1]
+    ceil = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        cdf.reshape(-1, n), u.reshape(-1, s)
+    ).reshape(u.shape)
+    floor = ceil - 1
+    ceil = jnp.clip(ceil, 0, n - 1)
+    floor = jnp.clip(floor, 0, n - 1)
+
+    cdf0 = jnp.take_along_axis(cdf, floor, axis=-1)
+    cdf1 = jnp.take_along_axis(cdf, ceil, axis=-1)
+    b0 = jnp.take_along_axis(bins, floor, axis=-1)
+    b1 = jnp.take_along_axis(bins, ceil, axis=-1)
+
+    t = (u - cdf0) / jnp.clip(cdf1 - cdf0, min=eps)
+    centers = b0 + t * (b1 - b0)
+
+    samples = (centers[..., 1:] + centers[..., :-1]) / 2
+    samples = jnp.concatenate(
+        [
+            jnp.clip(2 * centers[..., :1] - samples[..., :1], min=vmin),
+            samples,
+            jnp.clip(2 * centers[..., -1:] - samples[..., -1:], max=vmax),
+        ],
+        axis=-1,
+    )
+    return samples, centers

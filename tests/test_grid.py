@@ -1,0 +1,183 @@
+"""Port of tests/test_grid.py — the traversal property tests and the
+mark_invisible_cells golden voxel counts (cross-framework anchors)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+from nerfacc_tpu.grid import (
+    _enlarge_aabb,
+    _query,
+    ray_aabb_intersect,
+    traverse_grids,
+)
+
+
+def _rand_rays(n_rays, seed=42, origin_scale=1.0):
+    rng = np.random.default_rng(seed)
+    rays_o = rng.normal(size=(n_rays, 3)).astype(np.float32) * origin_scale
+    rays_d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return jnp.asarray(rays_o), jnp.asarray(rays_d)
+
+
+def test_ray_aabb_intersect():
+    rng = np.random.default_rng(42)
+    n_rays, n_aabbs = 1000, 100
+    rays_o = jnp.asarray(rng.random((n_rays, 3), dtype=np.float32))
+    rays_d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rays_d = jnp.asarray(rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True))
+    aabb_min = rng.random((n_aabbs, 3), dtype=np.float32)
+    aabb_max = aabb_min + rng.random((n_aabbs, 3), dtype=np.float32)
+    aabbs = jnp.asarray(np.concatenate([aabb_min, aabb_max], -1))
+
+    tmins, tmaxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+
+    # geometric property: clamped midpoints of hits lie inside the box
+    tmids = jnp.clip((tmins + tmaxs) / 2, min=0.0)
+    pts = tmids[:, :, None] * rays_d[:, None, :] + rays_o[:, None, :]
+    inside = jnp.all(
+        (pts >= aabb_min[None] - 1e-5) & (pts <= aabb_max[None] + 1e-5), -1
+    )
+    assert bool(jnp.all(inside == hits))
+
+
+def test_traverse_grids_samples_are_occupied():
+    """Every emitted sample's midpoint must query as occupied at its mip
+    level (test_grid.py:39-68)."""
+    rng = np.random.default_rng(42)
+    n_rays, n_aabbs = 10, 4
+    rays_o, rays_d = _rand_rays(n_rays)
+
+    base_aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    aabbs = jnp.stack([_enlarge_aabb(base_aabb, 2**i) for i in range(n_aabbs)])
+    binaries = jnp.asarray(rng.random((n_aabbs, 32, 32, 32)) > 0.5)
+
+    res = traverse_grids(
+        rays_o, rays_d, binaries, aabbs,
+        step_size=0.05, max_lattice_steps=1024,
+    )
+    t_mid = (res.t_starts + res.t_ends) / 2.0
+    positions = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+    occs, selector = _query(positions, binaries, base_aabb)
+    assert int(res.is_valid.sum()) > 0
+    assert bool(jnp.all(jnp.where(res.is_valid, occs, True)))
+    assert bool(jnp.all(jnp.where(res.is_valid, selector, True)))
+
+
+def test_traverse_grids_test_mode():
+    """Iterative over-allocate marching with termination-plane resumption
+    must accumulate the same t sums as one-shot traversal
+    (test_grid.py:72-131)."""
+    rng = np.random.default_rng(42)
+    n_rays, n_aabbs = 10, 4
+    rays_o, rays_d = _rand_rays(n_rays)
+
+    base_aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    aabbs = jnp.stack([_enlarge_aabb(base_aabb, 2**i) for i in range(n_aabbs)])
+    binaries = jnp.asarray(rng.random((n_aabbs, 32, 32, 32)) > 0.5)
+
+    kw = dict(step_size=0.05, max_lattice_steps=1024)
+    ref = traverse_grids(rays_o, rays_d, binaries, aabbs, **kw)
+    accum_starts = jnp.sum(jnp.where(ref.is_valid, ref.t_starts, 0.0), -1)
+    accum_ends = jnp.sum(jnp.where(ref.is_valid, ref.t_ends, 0.0), -1)
+
+    limit = 100
+    near, mask = None, None
+    acc_s, acc_e = 0.0, 0.0
+    for _ in range(12):
+        r = traverse_grids(
+            rays_o, rays_d, binaries, aabbs,
+            near_planes=near, traverse_steps_limit=limit,
+            rays_mask=mask, **kw,
+        )
+        acc_s += jnp.sum(jnp.where(r.is_valid, r.t_starts, 0.0), -1)
+        acc_e += jnp.sum(jnp.where(r.is_valid, r.t_ends, 0.0), -1)
+        near = r.termination_planes
+        mask = r.num_valid == limit
+        if not bool(mask.any()):
+            break
+    assert not bool(mask.any())
+    np.testing.assert_allclose(acc_s, accum_starts, atol=1e-1)
+    np.testing.assert_allclose(acc_e, accum_ends, atol=1e-1)
+
+
+def test_traverse_grids_with_near_far_planes():
+    rays_o = jnp.asarray([[-1.0, 0.0, 0.0]])
+    rays_d = jnp.asarray([[1.0, 0.01, 0.01]])
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    binaries = jnp.ones((1, 1, 1, 1), bool)
+    aabbs = jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]])
+    near_planes = jnp.asarray([1.2])
+    far_planes = jnp.asarray([1.5])
+    step_size = 0.05
+
+    res = traverse_grids(
+        rays_o, rays_d, binaries, aabbs,
+        near_planes=near_planes, far_planes=far_planes,
+        step_size=step_size, max_lattice_steps=128,
+    )
+    assert int(res.is_valid.sum()) > 0
+    valid = res.is_valid
+    assert bool(jnp.all(jnp.where(valid, res.t_starts >= 1.2 - step_size / 2, True)))
+    assert bool(jnp.all(jnp.where(valid, res.t_ends <= 1.5 + step_size / 2, True)))
+
+
+def test_sampling_with_min_max_distances():
+    rng = np.random.default_rng(42)
+    n_rays, levels, resolution = 64, 4, 32
+    render_step_size = 0.01
+
+    rays_o = jnp.asarray(rng.random((n_rays, 3), dtype=np.float32) * 2 - 1)
+    d = rng.random((n_rays, 3)).astype(np.float32)
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    est = OccGridEstimator(
+        roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=resolution, levels=levels
+    )
+    state = est.init()
+    state = state.replace(
+        binaries=jnp.asarray(
+            rng.random((levels, resolution, resolution, resolution)) > 0.5
+        )
+    )
+    t_min = jnp.asarray(rng.random((n_rays,), dtype=np.float32))
+    t_max = t_min + jnp.asarray(rng.random((n_rays,), dtype=np.float32))
+
+    ray_indices, t_starts, t_ends, is_valid = est.sampling(
+        state, rays_o, rays_d,
+        near_plane=0.15, far_plane=0.85,
+        t_min=t_min, t_max=t_max,
+        render_step_size=render_step_size,
+        max_samples=128,
+    )
+    assert int(is_valid.sum()) > 0
+    lo = t_min[ray_indices] - render_step_size / 2
+    hi = t_max[ray_indices] + render_step_size / 2
+    assert bool(jnp.all(jnp.where(is_valid, t_starts >= lo, True)))
+    assert bool(jnp.all(jnp.where(is_valid, t_ends <= hi, True)))
+
+
+def test_mark_invisible_cells():
+    """Golden voxel counts from the reference (test_grid.py:207-233)."""
+    levels, resolution = 4, 32
+    width = height = 100
+    fx, fy = width, height
+    cx, cy = width / 2, height / 2
+
+    est = OccGridEstimator(
+        roi_aabb=[-1.0, -1.0, -1.0, 1.0, 1.0, 1.0],
+        resolution=resolution,
+        levels=levels,
+    )
+    state = est.init()
+
+    K = jnp.asarray([[[fx, 0, cx], [0, fy, cy], [0, 0, 1]]], jnp.float32)
+    pose = jnp.asarray(
+        [[[-1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, -1.0, 2.5]]], jnp.float32
+    )
+    state = est.mark_invisible_cells(state, K, pose, width, height)
+    assert int((state.occs == -1).sum()) == 77660
+    assert int((state.occs == 0).sum()) == 53412

@@ -1,0 +1,102 @@
+"""Port of tests/test_pdf.py — searchsorted vs library oracle, importance
+sampling vs _sample_from_weighted, pdf loss vs _lossfun_outer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.data_specs import RayIntervals
+from nerfacc_tpu.estimators.prop_net import _lossfun_outer, _pdf_loss
+from nerfacc_tpu.pdf import (
+    _sample_from_weighted,
+    importance_sampling,
+    searchsorted,
+)
+
+
+def _create_intervals(n_rays, n_samples, seed=42):
+    rng = np.random.default_rng(seed)
+    vals = np.sort(rng.random((n_rays, n_samples + 1), dtype=np.float32), -1)
+    return RayIntervals(vals=jnp.asarray(vals))
+
+
+def test_searchsorted():
+    query = _create_intervals(10, 100, seed=42)
+    key = _create_intervals(10, 100, seed=7)
+
+    ids_left, ids_right = searchsorted(key, query)
+    y = jnp.take_along_axis(key.vals, ids_right, axis=-1)
+
+    _ids_right = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right")
+    )(key.vals, query.vals)
+    _ids_right = jnp.clip(_ids_right, 0, key.vals.shape[-1] - 1)
+    _y = jnp.take_along_axis(key.vals, _ids_right, axis=-1)
+
+    np.testing.assert_array_equal(ids_right, _ids_right)
+    np.testing.assert_allclose(y, _y)
+
+
+def test_importance_sampling():
+    intervals = _create_intervals(5, 100)
+    rng = np.random.default_rng(1)
+    cdfs = jnp.asarray(
+        np.sort(rng.random(intervals.vals.shape, dtype=np.float32), -1)
+    )
+    n = 100
+
+    out_intervals, out_samples = importance_sampling(intervals, cdfs, n, False)
+
+    _vals, _mids = _sample_from_weighted(
+        intervals.vals,
+        cdfs[:, 1:] - cdfs[:, :-1],
+        n,
+        False,
+        intervals.vals.min(axis=-1, keepdims=True),
+        intervals.vals.max(axis=-1, keepdims=True),
+    )
+    np.testing.assert_allclose(out_intervals.vals, _vals, atol=1e-4)
+    np.testing.assert_allclose(out_samples.vals, _mids, atol=1e-4)
+
+
+def test_pdf_loss():
+    intervals = _create_intervals(5, 100)
+    rng = np.random.default_rng(2)
+    cdfs = jnp.asarray(
+        np.sort(rng.random(intervals.vals.shape, dtype=np.float32), -1)
+    )
+    out_intervals, _ = importance_sampling(intervals, cdfs, 10, False)
+    _cdfs = jnp.asarray(
+        np.sort(rng.random(out_intervals.vals.shape, dtype=np.float32), -1)
+    )
+
+    loss = _pdf_loss(intervals, cdfs, out_intervals, _cdfs)
+    loss2 = _lossfun_outer(
+        intervals.vals,
+        cdfs[:, 1:] - cdfs[:, :-1],
+        out_intervals.vals,
+        _cdfs[:, 1:] - _cdfs[:, :-1],
+    )
+    # The two reference implementations disagree (by clamping convention) for
+    # query intervals outside the key histogram's range: _pdf_loss yields
+    # w^2/(w+eps) (zero outer mass), _lossfun_outer credits the first/last
+    # bin's mass.  The reference test only passes because its data keeps those
+    # terms below its atol.  Compare in-range elements at full precision.
+    t1 = out_intervals.vals
+    in_range = (intervals.vals[:, :-1] >= t1[:, :1]) & (
+        intervals.vals[:, 1:] <= t1[:, -1:]
+    )
+    np.testing.assert_allclose(
+        jnp.where(in_range, loss, 0.0),
+        jnp.where(in_range, loss2, 0.0),
+        atol=1e-4,
+    )
+    # Out-of-range: our _pdf_loss must match the reference _pdf_loss formula
+    # (zero outer mass -> w^2 / (w + eps)).
+    w = cdfs[:, 1:] - cdfs[:, :-1]
+    below = intervals.vals[:, 1:] <= t1[:, :1]
+    np.testing.assert_allclose(
+        jnp.where(below, loss, 0.0),
+        jnp.where(below, w**2 / (w + 1e-7), 0.0),
+        atol=1e-5,
+    )
