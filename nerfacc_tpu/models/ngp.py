@@ -1,0 +1,163 @@
+"""Instant-NGP radiance/density fields (hash grid + fused small MLPs).
+
+Parity target: ``examples/radiance_fields/ngp.py`` (which delegates to
+tiny-cuda-nn).  The TPU equivalents: :class:`~.encoding.HashGridEncoder`
+(gather + autodiff scatter-add) and plain ``nn.Dense`` 64-wide MLPs — at
+these widths XLA fuses the whole head into a couple of MXU ops, which is the
+TPU analogue of tcnn's FullyFusedMLP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .encoding import HashGridEncoder, spherical_harmonics_deg4
+
+Array = jnp.ndarray
+
+
+@jax.custom_vjp
+def trunc_exp(x: Array) -> Array:
+    """exp with clamped-input gradient (``ngp.py:23-39``)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, max=15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+def contract_to_unisphere(
+    x: Array, aabb: Array, ord: Union[str, int] = 2, eps: float = 1e-6
+) -> Array:
+    """MipNeRF-360 scene contraction to [0,1]^3 (``ngp.py:42-66``)."""
+    aabb_min, aabb_max = aabb[..., :3], aabb[..., 3:]
+    x = (x - aabb_min) / (aabb_max - aabb_min)
+    x = x * 2 - 1  # aabb at [-1, 1]
+    mag = jnp.linalg.norm(x, ord=ord, axis=-1, keepdims=True)
+    mag = jnp.maximum(mag, eps)
+    contracted = (2 - 1 / mag) * (x / mag)
+    x = jnp.where(mag > 1, contracted, x)
+    return x / 4 + 0.5  # [-inf, inf] -> [0, 1]
+
+
+class NGPRadianceField(nn.Module):
+    """Hash-grid radiance field (``ngp.py:69-210``)."""
+
+    aabb: Sequence[float]
+    num_dim: int = 3
+    use_viewdirs: bool = True
+    unbounded: bool = False
+    base_resolution: int = 16
+    max_resolution: int = 4096
+    geo_feat_dim: int = 15
+    n_levels: int = 16
+    log2_hashmap_size: int = 19
+    mlp_width: int = 64
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = HashGridEncoder(
+            n_levels=self.n_levels,
+            n_features_per_level=2,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+        )
+        self.mlp_base = nn.Sequential(
+            [
+                nn.Dense(self.mlp_width),
+                nn.relu,
+                nn.Dense(1 + self.geo_feat_dim),
+            ]
+        )
+        if self.geo_feat_dim > 0:
+            self.mlp_head = nn.Sequential(
+                [
+                    nn.Dense(self.mlp_width),
+                    nn.relu,
+                    nn.Dense(self.mlp_width),
+                    nn.relu,
+                    nn.Dense(3),
+                ]
+            )
+
+    def _density_activation(self, x: Array) -> Array:
+        return trunc_exp(x - 1)
+
+    def query_density(self, x: Array, return_feat: bool = False):
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.unbounded:
+            u = contract_to_unisphere(x, aabb)
+        else:
+            u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
+        selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+        h = self.encoder(u)
+        h = self.mlp_base(h)
+        density_before, feat = h[..., :1], h[..., 1:]
+        density = (
+            self._density_activation(density_before) * selector[..., None]
+        )
+        if return_feat:
+            return density, feat
+        return density
+
+    def _query_rgb(self, direction: Optional[Array], embedding: Array):
+        if self.use_viewdirs and direction is not None:
+            d = spherical_harmonics_deg4(direction)
+            h = jnp.concatenate([d, embedding], axis=-1)
+        else:
+            h = embedding
+        return nn.sigmoid(self.mlp_head(h))
+
+    def __call__(self, positions: Array, directions: Optional[Array] = None):
+        density, embedding = self.query_density(positions, return_feat=True)
+        rgb = self._query_rgb(directions, embedding)
+        return rgb, density
+
+
+class NGPDensityField(nn.Module):
+    """Hash-grid density-only field for proposal levels (``ngp.py:213-279``)."""
+
+    aabb: Sequence[float]
+    num_dim: int = 3
+    unbounded: bool = False
+    base_resolution: int = 16
+    max_resolution: int = 128
+    n_levels: int = 5
+    log2_hashmap_size: int = 17
+    mlp_width: int = 64
+
+    def setup(self):
+        self.encoder = HashGridEncoder(
+            n_levels=self.n_levels,
+            n_features_per_level=2,
+            log2_hashmap_size=self.log2_hashmap_size,
+            base_resolution=self.base_resolution,
+            max_resolution=self.max_resolution,
+        )
+        self.mlp_base = nn.Sequential(
+            [nn.Dense(self.mlp_width), nn.relu, nn.Dense(1)]
+        )
+
+    def __call__(self, positions: Array) -> Array:
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        if self.unbounded:
+            u = contract_to_unisphere(positions, aabb)
+        else:
+            u = (positions - aabb[:3]) / (aabb[3:] - aabb[:3])
+        selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+        h = self.mlp_base(self.encoder(u))
+        return trunc_exp(h - 1) * selector[..., None]

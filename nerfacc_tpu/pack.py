@@ -13,7 +13,12 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-__all__ = ["pack_info", "flatten_batched", "compact_flat"]
+__all__ = [
+    "pack_info",
+    "flatten_batched",
+    "compact_flat",
+    "compact_indices_from_counts",
+]
 
 
 def pack_info(
@@ -76,3 +81,34 @@ def compact_flat(
     n_valid = jnp.sum(is_valid.astype(jnp.int32))
     kept = jnp.arange(capacity, dtype=jnp.int32) < n_valid
     return gather_idx, kept
+
+
+def compact_indices_from_counts(
+    num_valid: Array, row_capacity: int, capacity: int
+) -> Tuple[Array, Array, Array]:
+    """Sort-free compaction for row-prefix-valid layouts.
+
+    The traversal writes each ray's valid samples as a *prefix* of its row
+    (``grid.py`` stage-2 compaction), so the flat row-major array is
+    "blocks with valid prefixes".  Compacting it to ``capacity`` slots needs
+    no sort — just count arithmetic:
+
+    output slot ``k`` holds row ``r = searchsorted(cum, k, right) - 1`` at
+    offset ``j = k - cum[r]``, i.e. flat source ``r * row_capacity + j``.
+
+    Returns ``(gather_idx (capacity,), ray_ids (capacity,), kept (capacity,))``.
+    ``kept`` masks slots beyond the total valid count; overflowing samples
+    (total > capacity) are dropped from the back.  This is the vectorized
+    equivalent of the CUDA two-pass exact allocation (``grid.cu:405-471``)
+    under a static output budget.
+    """
+    cnt = num_valid.astype(jnp.int32)
+    cum = jnp.cumsum(cnt) - cnt  # exclusive: output start per row
+    total = cum[-1] + cnt[-1]
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    r = jnp.searchsorted(cum, k, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, num_valid.shape[0] - 1)
+    j = k - cum[r]
+    gather_idx = r * row_capacity + jnp.clip(j, 0, row_capacity - 1)
+    kept = k < total
+    return gather_idx, r, kept
