@@ -1,0 +1,305 @@
+"""Train Instant-NGP (hash grid) with occupancy-grid sampling.
+
+Parity target: ``examples/train_ngp_nerf_occ.py`` — per-dataset config blocks
+(synthetic vs mip-360 unbounded), Adam(1e-2, eps=1e-15) + warmup/multistep
+schedule, smooth-l1 loss, 20k steps.
+
+TPU design differences (SURVEY §7 decision 5): instead of dynamically
+resizing the ray batch to hit 2^18 samples (which would retrace the jitted
+step), the ray count is fixed and the *sample capacity* is the static 2^18
+budget — same total work at equilibrium, one compiled step.  bfloat16 is
+used inside the field MLPs via jax default matmul precision.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import pickle
+import time
+from pathlib import Path
+
+from common import (  # noqa: E402
+    MIPNERF360_UNBOUNDED_SCENES,
+    NERF_SYNTHETIC_SCENES,
+    Timer,
+    psnr,
+    render_image_chunked,
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
+from nerfacc_tpu.datasets.procedural import make_loaders
+from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+from nerfacc_tpu.models.ngp import NGPRadianceField
+from nerfacc_tpu.rendering import occgrid_render_rays
+
+
+def build_config(args):
+    cfg = dict(
+        max_steps=20000,
+        num_rays=8192,
+        target_sample_batch_size=1 << 18,
+        weight_decay=1e-6,
+        aabb=np.array([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5], np.float32),
+        near_plane=0.0,
+        far_plane=1e10,
+        grid_resolution=128,
+        grid_nlvl=1,
+        render_step_size=5e-3,
+        alpha_thre=0.0,
+        cone_angle=0.0,
+        unbounded=False,
+    )
+    if args.scene in MIPNERF360_UNBOUNDED_SCENES:
+        cfg.update(
+            weight_decay=0.0,
+            aabb=np.array([-1, -1, -1, 1, 1, 1], np.float32),
+            near_plane=0.2,
+            grid_nlvl=4,
+            render_step_size=1e-3,
+            alpha_thre=1e-2,
+            cone_angle=0.004,
+            unbounded=True,
+        )
+    elif args.scene in ["materials", "ficus", "drums"]:
+        cfg.update(weight_decay=1e-5)
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--train_split", type=str, default="train")
+    p.add_argument(
+        "--scene",
+        type=str,
+        default="lego",
+        choices=NERF_SYNTHETIC_SCENES + MIPNERF360_UNBOUNDED_SCENES + ["procedural"],
+    )
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_rays", type=int, default=None)
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = build_config(args)
+    procedural = args.smoke or args.data_root is None or args.scene == "procedural"
+    if procedural:
+        cfg["aabb"] = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+        cfg["grid_resolution"] = 64 if not args.smoke else 32
+        cfg["render_step_size"] = 5e-3 if not args.smoke else 1e-2
+        cfg["num_rays"] = 1024 if args.smoke else 4096
+        cfg["target_sample_batch_size"] = cfg["num_rays"] * (
+            16 if args.smoke else 32
+        )
+        cfg["max_steps"] = args.max_steps or (200 if args.smoke else 4000)
+        train_ds, test_ds = make_loaders(
+            num_rays=cfg["num_rays"],
+            width=96 if args.smoke else 160,
+            height=96 if args.smoke else 160,
+            n_train=12 if args.smoke else 36,
+            n_test=1 if args.smoke else 2,
+        )
+        cfg["near_plane"], cfg["far_plane"] = train_ds.near, train_ds.far
+    else:
+        train_ds = SubjectLoader(
+            subject_id=args.scene,
+            root_fp=args.data_root,
+            split=args.train_split,
+            num_rays=cfg["num_rays"],
+        )
+        test_ds = SubjectLoader(
+            subject_id=args.scene, root_fp=args.data_root, split="test"
+        )
+        if args.max_steps:
+            cfg["max_steps"] = args.max_steps
+    if args.num_rays:
+        cfg["num_rays"] = args.num_rays
+        train_ds.update_num_rays(args.num_rays)
+
+    max_steps = cfg["max_steps"]
+    estimator = OccGridEstimator(
+        roi_aabb=cfg["aabb"],
+        resolution=cfg["grid_resolution"],
+        levels=cfg["grid_nlvl"],
+    )
+    occ_state = estimator.init()
+
+    field = NGPRadianceField(
+        aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
+        unbounded=cfg["unbounded"],
+    )
+    key = jax.random.PRNGKey(42)
+    key, sub = jax.random.split(key)
+    params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"NGP field params: {n_params/1e6:.2f} M")
+
+    # Adam(1e-2, eps 1e-15) + linear warmup + multistep decay (ngp_occ:125-140).
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.01 / 100, 0.01, 100),
+            optax.piecewise_constant_schedule(
+                0.01,
+                {
+                    max_steps // 2: 0.33,
+                    max_steps * 3 // 4: 0.33,
+                    max_steps * 9 // 10: 0.33,
+                },
+            ),
+        ],
+        [100],
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg["weight_decay"]),
+        optax.scale_by_adam(eps=1e-15),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+    opt_state = tx.init(params)
+
+    sample_capacity = cfg["target_sample_batch_size"]
+    eval_chunk = 2048 if args.smoke else 8192
+
+    def make_fns(params, rays_o, rays_d):
+        def sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            return field.apply(params, x, method="query_density")[..., 0]
+
+        def rgb_sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            d = rays_d[ray_indices]
+            rgb, sigma = field.apply(params, x, d)
+            return rgb, sigma[..., 0]
+
+        return sigma_fn, rgb_sigma_fn
+
+    render_kwargs = dict(
+        near_plane=cfg["near_plane"],
+        far_plane=cfg["far_plane"],
+        render_step_size=cfg["render_step_size"],
+        cone_angle=cfg["cone_angle"],
+        alpha_thre=cfg["alpha_thre"],
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key):
+        def loss_fn(p):
+            sigma_fn, rgb_sigma_fn = make_fns(p, rays_o, rays_d)
+            colors, _, depths, n_samp, _ = occgrid_render_rays(
+                rgb_sigma_fn,
+                sigma_fn,
+                estimator,
+                occ_state,
+                rays_o,
+                rays_d,
+                render_bkgd=bkgd,
+                stratified=True,
+                key=key,
+                sample_capacity=sample_capacity,
+                **render_kwargs,
+            )
+            loss = optax.huber_loss(colors, pixels, delta=1.0).mean()
+            mse = jnp.mean((colors - pixels) ** 2)
+            return loss, (n_samp, mse)
+
+        (loss, (n_samp, mse)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n_samp, mse
+
+    @functools.partial(jax.jit, static_argnames=("warmup",))
+    def occ_update(occ_state, params, key, warmup: bool):
+        occ_eval_fn = (
+            lambda x: field.apply(params, x, method="query_density")
+            * cfg["render_step_size"]
+        )
+        return estimator._update(
+            occ_state,
+            step=0 if warmup else 10**9,
+            occ_eval_fn=occ_eval_fn,
+            key=key,
+            warmup_steps=1,
+        )
+
+    @jax.jit
+    def eval_render(params, occ_state, rays_o, rays_d):
+        sigma_fn, rgb_sigma_fn = make_fns(params, rays_o, rays_d)
+        colors, _, _, _, _ = occgrid_render_rays(
+            rgb_sigma_fn,
+            sigma_fn,
+            estimator,
+            occ_state,
+            rays_o,
+            rays_d,
+            render_bkgd=jnp.ones(3),
+            sample_capacity=eval_chunk * 64,
+            **render_kwargs,
+        )
+        return colors
+
+    timer = Timer()
+    log_every = max(1, max_steps // 10)
+    for step in range(max_steps + 1):
+        if step % 16 == 0:
+            key, sub = jax.random.split(key)
+            occ_state = occ_update(occ_state, params, sub, warmup=step < 256)
+        batch = train_ds[step % len(train_ds)]
+        rays = batch["rays"]
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, n_samp, mse = train_step(
+            params,
+            opt_state,
+            occ_state,
+            rays.origins,
+            rays.viewdirs,
+            batch["pixels"],
+            batch["color_bkgd"],
+            sub,
+        )
+        if step % log_every == 0:
+            train_psnr = -10.0 * np.log10(max(float(mse), 1e-10))
+            print(
+                f"elapsed={timer.elapsed():.1f}s step={step} "
+                f"loss={float(loss):.5f} psnr={train_psnr:.2f} "
+                f"n_samples={int(n_samp)} rays={rays.origins.shape[0]}"
+            )
+
+    total = timer.elapsed()
+    print(f"training done in {total:.1f}s")
+    psnrs = []
+    for i in range(len(test_ds)):
+        batch = test_ds[i]
+        img = render_image_chunked(
+            lambda o, d: eval_render(params, occ_state, o, d),
+            batch["rays"],
+            chunk=eval_chunk,
+        )
+        p_ = psnr(img, batch["pixels"])
+        psnrs.append(p_)
+        print(f"  eval img {i}: PSNR {p_:.2f}")
+    print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB in {total:.1f}s")
+
+    if args.model_path:
+        with open(args.model_path, "wb") as f:
+            pickle.dump(
+                {"params": params, "occ_state": occ_state, "step": max_steps}, f
+            )
+    return float(np.mean(psnrs))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,7 @@ class SubjectLoader:
                 np.arange(self.WIDTH), np.arange(self.HEIGHT)
             )
             x, y = xx.reshape(-1), yy.reshape(-1)
+        self._last_image_id = image_id  # consumed by dynamic subclasses
 
         rgba = self.images[image_id, y, x].astype(np.float32) / 255.0
         c2w = self.camtoworlds[image_id, :3, :4]

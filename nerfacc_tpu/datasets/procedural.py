@@ -147,6 +147,112 @@ def generate_dataset(
     return train_images, train_c2w, test_images, test_c2w, focal
 
 
+def scene_rgb_density_t(x: Array, t: Array) -> Tuple[Array, Array]:
+    """Time-animated variant: blobs orbit slightly with time ``t`` in [0,1]
+    (drives the dynamic T-NeRF benchmark)."""
+    c = jnp.asarray(_BLOBS[:, :3])
+    r = jnp.asarray(_BLOBS[:, 3])
+    d = jnp.asarray(_BLOBS[:, 4])
+    rgb = jnp.asarray(_BLOBS[:, 5:8])
+    ang = 0.6 * jnp.sin(2 * jnp.pi * t)  # scalar or broadcastable
+    rot = jnp.stack(
+        [
+            jnp.stack([jnp.cos(ang), -jnp.sin(ang)], -1),
+            jnp.stack([jnp.sin(ang), jnp.cos(ang)], -1),
+        ],
+        -2,
+    )  # (..., 2, 2)
+    c_xy = jnp.einsum("...ij,bj->...bi", rot, c[:, :2])
+    c_t = jnp.concatenate(
+        [c_xy, jnp.broadcast_to(c[:, 2:], c_xy.shape[:-1] + (1,))], axis=-1
+    )
+    dist2 = jnp.sum((x[..., None, :] - c_t) ** 2, axis=-1)
+    u = jnp.clip(1.0 - dist2 / (r**2), min=0.0)
+    w = d * u * u
+    sigma = jnp.sum(w, axis=-1)
+    colors = jnp.sum(w[..., None] * rgb, axis=-2) / jnp.clip(
+        sigma[..., None], min=1e-8
+    )
+    return jnp.clip(colors, 0.0, 1.0), sigma
+
+
+@jax.jit
+def _render_pose_chunk_t(origins, viewdirs, t, near, far, n_steps: int = 512):
+    tt = jnp.linspace(near, far, n_steps + 1)
+    t0, t1 = tt[:-1], tt[1:]
+    tm = (t0 + t1) / 2.0
+    x = origins[:, None, :] + tm[None, :, None] * viewdirs[:, None, :]
+    rgbs, sigmas = scene_rgb_density_t(x, t)
+    dt = (t1 - t0)[None, :]
+    alphas = 1.0 - jnp.exp(-sigmas * dt)
+    trans = jnp.exp(
+        -jnp.cumsum(jnp.pad(sigmas * dt, ((0, 0), (1, 0)))[:, :-1], axis=-1)
+    )
+    weights = trans * alphas
+    color = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    opacity = jnp.sum(weights, axis=-1, keepdims=True)
+    return color, opacity
+
+
+def make_dynamic_loaders(
+    num_rays: int = 1024,
+    width: int = 96,
+    height: int = 96,
+    n_train: int = 24,
+    n_test: int = 2,
+    radius: float = 2.5,
+):
+    """Procedural dynamic (time-varying) train/test loaders for T-NeRF."""
+    from .dnerf_synthetic import SubjectLoader as DynLoader
+    from .utils import generate_rays
+
+    focal = 0.9 * width
+    K = np.array(
+        [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+        dtype=np.float32,
+    )
+    rng = np.random.default_rng(0)
+
+    def render_split(n_views, phase):
+        images, poses, times = [], [], []
+        for i in range(n_views):
+            t = i / max(n_views - 1, 1)
+            theta = 2 * np.pi * (i / n_views) + phase
+            phi = -np.pi / 5 - 0.4 * rng.random()
+            c2w = _pose_spherical(theta, phi, radius)
+            xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+            rays = generate_rays(
+                xx.reshape(-1).astype(np.float32),
+                yy.reshape(-1).astype(np.float32),
+                K,
+                c2w[:3, :4],
+                opengl=True,
+            )
+            color, opacity = _render_pose_chunk_t(
+                rays.origins, rays.viewdirs, jnp.float32(t),
+                radius - 1.2, radius + 1.2,
+            )
+            rgba = np.concatenate(
+                [np.asarray(color), np.asarray(opacity)], axis=-1
+            ).reshape(height, width, 4)
+            images.append((np.clip(rgba, 0, 1) * 255).astype(np.uint8))
+            poses.append(c2w)
+            times.append(t)
+        return np.stack(images), np.stack(poses), np.asarray(times, np.float32)
+
+    tr_im, tr_c2w, tr_t = render_split(n_train, 0.0)
+    te_im, te_c2w, te_t = render_split(n_test, 0.3)
+    train = DynLoader(
+        split="train", num_rays=num_rays, images=tr_im, camtoworlds=tr_c2w,
+        focal=focal, timestamps=tr_t, near=1.3, far=3.7,
+    )
+    test = DynLoader(
+        split="test", images=te_im, camtoworlds=te_c2w, focal=focal,
+        timestamps=te_t, near=1.3, far=3.7,
+    )
+    return train, test
+
+
 def make_loaders(
     num_rays: int = 1024,
     width: int = 128,

@@ -171,6 +171,7 @@ class TraversalResults(NamedTuple):
     is_valid: Array  # (n_rays, max_samples) bool
     termination_planes: Array  # (n_rays,)
     num_valid: Array  # (n_rays,) int32 — samples emitted (capped at capacity)
+    far_effective: Array  # (n_rays,) min(far_plane, outermost-grid exit)
 
 
 def traverse_grids(
@@ -251,11 +252,13 @@ def traverse_grids(
     is_valid = jnp.arange(capacity, dtype=jnp.int32) < num_valid[:, None]
 
     # Termination plane: where marching stopped (``grid.cu:274-275``) —
-    # the end of the last emitted sample when the capacity was hit, else the
-    # effective far plane.
+    # the end of the last emitted sample when the capacity was hit, else how
+    # far the (possibly windowed) lattice actually examined.  A later round
+    # resumes from here (the iterative test-mode renderer, §3.4).
     hit_cap = vcum[:, -1] >= capacity
     last_end = jnp.max(t_ends, axis=-1)
-    term = jnp.where(hit_cap, last_end, jnp.maximum(far, near))
+    examined = jnp.minimum(edges[:, -1], far)
+    term = jnp.where(hit_cap, last_end, jnp.maximum(examined, near))
 
     # Park invalid slots at t_start == t_end == termination (exact no-ops).
     t_starts = jnp.where(is_valid, t_starts, term[:, None])
@@ -267,4 +270,5 @@ def traverse_grids(
         is_valid=is_valid,
         termination_planes=term,
         num_valid=num_valid,
+        far_effective=far,
     )

@@ -100,11 +100,13 @@ class HashGridEncoder(nn.Module):
         dense_idx = (
             cc[..., 0] * stride * stride + cc[..., 1] * stride + cc[..., 2]
         )
+        ccu = cc.astype(jnp.uint32)
         hash_idx = (
-            cc[..., 0] * _PRIMES[0]
-            ^ cc[..., 1] * _PRIMES[1]
-            ^ cc[..., 2] * _PRIMES[2]
-        ) & (T - 1)
+            (ccu[..., 0] * jnp.uint32(_PRIMES[0]))
+            ^ (ccu[..., 1] * jnp.uint32(_PRIMES[1]))
+            ^ (ccu[..., 2] * jnp.uint32(_PRIMES[2]))
+        ) & jnp.uint32(T - 1)
+        hash_idx = hash_idx.astype(jnp.int32)
         idx = jnp.where(use_dense, dense_idx & (T - 1), hash_idx)  # (N, L, 8)
 
         level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]

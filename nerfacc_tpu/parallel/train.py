@@ -1,0 +1,166 @@
+"""Sharded (multi-chip) training-step builders for the occ-grid pipeline.
+
+The distributed design (new vs the single-GPU reference — SURVEY §2.11/§5.8):
+the whole per-shard render pipeline (traversal, compaction, field, scans,
+accumulation) runs inside ``shard_map`` over the ``data`` mesh axis with
+*local* static shapes, so no collective touches the hot path; the only
+cross-chip traffic is
+
+- the scalar loss ``pmean`` (so ``jax.grad`` through it yields the gradient
+  all-reduce — XLA emits one fused ``psum`` over ICI per step), and
+- the occupancy-grid EMA merge: each chip probes a shard of cells and the
+  grids merge with ``pmax`` (max is associative — exactly the reference's
+  EMA-max semantics, ``occ_grid.py:396-398``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import optax
+
+from ..estimators.occ_grid import OccGridEstimator
+from ..rendering import occgrid_render_rays
+
+Array = jnp.ndarray
+
+
+def make_parallel_train_step(
+    field,
+    estimator: OccGridEstimator,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    *,
+    render_step_size: float,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    cone_angle: float = 0.0,
+    alpha_thre: float = 0.0,
+    sample_capacity_per_shard: int = 1 << 15,
+    axis: str = "data",
+) -> Callable:
+    """Build a jitted data-parallel train step.
+
+    Signature of the returned function:
+    ``(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key)
+    -> (params, opt_state, loss, n_samples)``
+    with rays/pixels sharded on their leading axis and everything else
+    replicated.
+    """
+
+    def make_fns(params, rays_o, rays_d):
+        def sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            return field.apply(params, x, method="query_density")[..., 0]
+
+        def rgb_sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            d = rays_d[ray_indices]
+            rgb, sigma = field.apply(params, x, d)
+            return rgb, sigma[..., 0]
+
+        return sigma_fn, rgb_sigma_fn
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+    )
+    def shard_loss(params, occ_state, rays_o, rays_d, pixels, bkgd, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        sigma_fn, rgb_sigma_fn = make_fns(params, rays_o, rays_d)
+        colors, _, _, n_samp, _ = occgrid_render_rays(
+            rgb_sigma_fn,
+            sigma_fn,
+            estimator,
+            occ_state,
+            rays_o,
+            rays_d,
+            near_plane=near_plane,
+            far_plane=far_plane,
+            render_step_size=render_step_size,
+            render_bkgd=bkgd,
+            cone_angle=cone_angle,
+            alpha_thre=alpha_thre,
+            stratified=True,
+            key=key,
+            sample_capacity=sample_capacity_per_shard,
+        )
+        loss = optax.huber_loss(colors, pixels, delta=1.0).mean()
+        # Global mean loss -> grad of it carries the psum all-reduce.
+        loss = jax.lax.pmean(loss, axis)
+        n_samp = jax.lax.psum(n_samp, axis)
+        return loss, n_samp
+
+    @jax.jit
+    def train_step(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key):
+        (loss, n_samp), grads = jax.value_and_grad(
+            lambda p: shard_loss(
+                p, occ_state, rays_o, rays_d, pixels, bkgd, key
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n_samp
+
+    return train_step
+
+
+def make_parallel_occ_update(
+    field,
+    estimator: OccGridEstimator,
+    mesh: Mesh,
+    *,
+    render_step_size: float,
+    axis: str = "data",
+    occ_thre: float = 1e-2,
+    ema_decay: float = 0.95,
+):
+    """Build a jitted sharded occupancy update.
+
+    Each chip probes its own cell sample (different fold_in key) and the
+    EMA-updated grids merge with ``pmax`` — more probe coverage per wall
+    clock than the reference's single-GPU update, identical semantics.
+    """
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _sharded_update(occ_state, params, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        occ_eval_fn = (
+            lambda x: field.apply(params, x, method="query_density")
+            * render_step_size
+        )
+        new_state = estimator._update(
+            occ_state,
+            step=10**9,  # post-warmup sampling strategy
+            occ_eval_fn=occ_eval_fn,
+            key=key,
+            occ_thre=occ_thre,
+            ema_decay=ema_decay,
+        )
+        occs = jax.lax.pmax(new_state.occs, axis)
+        binaries = jax.lax.pmax(
+            new_state.binaries.astype(jnp.int32), axis
+        ).astype(bool)
+        return new_state.replace(occs=occs, binaries=binaries)
+
+    @jax.jit
+    def occ_update(occ_state, params, key):
+        return _sharded_update(occ_state, params, key)
+
+    return occ_update

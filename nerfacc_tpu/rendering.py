@@ -135,6 +135,138 @@ def occgrid_render_rays(
     return colors, opacities, depths, n_rendering_samples, extras
 
 
+def occgrid_render_rays_test(
+    rgb_sigma_fn_builder: Callable,  # params-free: (rays_o, rays_d) -> fn
+    estimator: OccGridEstimator,
+    state: OccGridState,
+    rays_o: Array,
+    rays_d: Array,
+    *,
+    max_samples: int = 1024,
+    samples_per_round: int = 32,
+    near_plane: float = 0.0,
+    far_plane: float = 1e10,
+    render_step_size: float = 1e-3,
+    render_bkgd: Optional[Array] = None,
+    cone_angle: float = 0.0,
+    alpha_thre: float = 0.0,
+    early_stop_eps: float = 1e-4,
+    lattice_per_round: Optional[int] = None,
+) -> Tuple[Array, Array, Array, int]:
+    """Iterative alive-ray inference renderer (Instant-NGP style).
+
+    Parity: ``examples/utils.py:253-425`` — bounded per-round work with
+    carried ``prefix_trans`` (as accumulated opacity), termination-plane
+    near advance, and early stop at opacity > 1-eps.
+
+    TPU shape design: each round is one jitted function with static shapes —
+    windowed traversal (``samples_per_round`` per ray over a bounded lattice
+    window), count-based compaction, field on the compacted batch.  The host
+    loop reads the alive count and picks a compaction-capacity bucket
+    (powers of two), so work per round shrinks with the alive set in ~log
+    many compiled variants instead of dynamic shapes.
+
+    Returns ``(rgb (n,3), opacity (n,1), depth (n,1), total_samples)``.
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+
+    full_lattice = num_ladder_steps(
+        estimator.max_t_range, render_step_size, cone_angle, near=near_plane
+    )
+    window = lattice_per_round or min(full_lattice, samples_per_round * 8)
+
+    @partial(jax.jit, static_argnames=("capacity",))
+    def round_fn(near_planes, alive, rgb, opacity, depth, capacity: int):
+        res = traverse_grids(
+            rays_o,
+            rays_d,
+            state.binaries,
+            state.aabbs,
+            near_planes=near_planes,
+            far_planes=jnp.full((n_rays,), far_plane, dtype),
+            step_size=render_step_size,
+            cone_angle=cone_angle,
+            traverse_steps_limit=samples_per_round,
+            rays_mask=alive,
+            max_lattice_steps=window,
+        )
+        gather_idx, ray_indices, kept = compact_indices_from_counts(
+            res.num_valid, samples_per_round, capacity
+        )
+        t_starts = res.t_starts.reshape(-1)[gather_idx]
+        t_ends = res.t_ends.reshape(-1)[gather_idx]
+        t_ends = jnp.where(kept, t_ends, t_starts)
+
+        rgbs, sigmas = rgb_sigma_fn_builder(rays_o, rays_d)(
+            t_starts, t_ends, ray_indices
+        )
+        sigmas = jnp.where(kept, sigmas, 0.0)
+        from .volrend import render_weight_from_alpha  # local alias
+        from .volrend import render_weight_from_density
+
+        weights, _, alphas = render_weight_from_density(
+            t_starts,
+            t_ends,
+            sigmas,
+            ray_indices=ray_indices,
+            n_rays=n_rays,
+            prefix_trans=1.0 - opacity[ray_indices, 0],
+        )
+        if alpha_thre > 0:
+            weights = jnp.where(alphas >= alpha_thre, weights, 0.0)
+
+        rgb = rgb + jax.ops.segment_sum(
+            weights[:, None] * rgbs, ray_indices, num_segments=n_rays
+        )
+        opacity = opacity + jax.ops.segment_sum(
+            weights[:, None], ray_indices, num_segments=n_rays
+        )
+        depth = depth + jax.ops.segment_sum(
+            (weights * (t_starts + t_ends) / 2.0)[:, None],
+            ray_indices,
+            num_segments=n_rays,
+        )
+        near_planes = res.termination_planes
+        alive = (
+            alive
+            & (opacity[:, 0] <= 1.0 - early_stop_eps)
+            & (near_planes < res.far_effective - 1e-6)
+        )
+        n_round_samples = jnp.sum(kept.astype(jnp.int32))
+        return near_planes, alive, rgb, opacity, depth, n_round_samples
+
+    near_planes = jnp.full((n_rays,), near_plane, dtype)
+    alive = jnp.ones((n_rays,), bool)
+    rgb = jnp.zeros((n_rays, 3), dtype)
+    opacity = jnp.zeros((n_rays, 1), dtype)
+    depth = jnp.zeros((n_rays, 1), dtype)
+
+    total_samples = 0
+    iter_samples = 0
+    max_capacity = n_rays * samples_per_round
+    while iter_samples < max_samples:
+        n_alive = int(jnp.sum(alive.astype(jnp.int32)))
+        if n_alive == 0:
+            break
+        # Capacity bucket: next pow2 covering the alive set's worst case.
+        want = n_alive * samples_per_round
+        capacity = 1
+        while capacity < want:
+            capacity *= 2
+        capacity = min(capacity, max_capacity)
+        near_planes, alive, rgb, opacity, depth, n_s = round_fn(
+            near_planes, alive, rgb, opacity, depth, capacity=capacity
+        )
+        total_samples += int(n_s)
+        iter_samples += samples_per_round
+
+    if render_bkgd is not None:
+        rgb = rgb + render_bkgd * (1.0 - opacity)
+    depth = depth / jnp.clip(opacity, min=jnp.finfo(dtype).eps)
+    return rgb, opacity, depth, total_samples
+
+
 def propnet_render_rays(
     rgb_sigma_fn: Callable,  # batched (t_starts, t_ends) -> (rgb, sigma)
     prop_sigma_fns: Sequence[Callable],

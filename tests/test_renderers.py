@@ -1,0 +1,158 @@
+"""Render-driver tests: train-mode vs test-mode equivalence (the analogue of
+tests/test_grid.py:72-131 at the full-renderer level) and propnet driver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+from nerfacc_tpu.estimators.prop_net import PropNetEstimator
+from nerfacc_tpu.rendering import (
+    occgrid_render_rays,
+    occgrid_render_rays_test,
+    propnet_render_rays,
+)
+
+
+def _scene():
+    def sigma_at(x):
+        return jnp.where(jnp.linalg.norm(x, axis=-1) < 0.5, 8.0, 0.0)
+
+    def rgb_at(x):
+        return jax.nn.sigmoid(x * 3.0)
+
+    return sigma_at, rgb_at
+
+
+def _setup(n_rays=64, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-2.0 * d)
+    rays_d = jnp.asarray(d)
+
+    estimator = OccGridEstimator(
+        roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=32, levels=1
+    )
+    state = estimator.init()
+    sigma_at, rgb_at = _scene()
+    # occupancy from the analytic scene
+    key = jax.random.PRNGKey(0)
+    state = estimator.update_every_n_steps(
+        state, 0, lambda x: sigma_at(x) * 0.02, key
+    )
+    return estimator, state, rays_o, rays_d, sigma_at, rgb_at
+
+
+def _fn_builder(sigma_at, rgb_at):
+    def builder(rays_o, rays_d):
+        def rgb_sigma_fn(ts, te, ri):
+            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            return rgb_at(x), sigma_at(x)
+
+        return rgb_sigma_fn
+
+    return builder
+
+
+def test_train_vs_test_mode_renderers_agree():
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup()
+    builder = _fn_builder(sigma_at, rgb_at)
+
+    bkgd = jnp.ones(3)
+    colors, opac, depth, n_samp, _ = occgrid_render_rays(
+        builder(rays_o, rays_d),
+        None,
+        estimator,
+        state,
+        rays_o,
+        rays_d,
+        near_plane=0.5,
+        far_plane=4.0,
+        render_step_size=2e-2,
+        render_bkgd=bkgd,
+        sample_capacity=64 * 256,
+    )
+
+    colors2, opac2, depth2, total = occgrid_render_rays_test(
+        builder,
+        estimator,
+        state,
+        rays_o,
+        rays_d,
+        max_samples=2048,
+        samples_per_round=16,
+        near_plane=0.5,
+        far_plane=4.0,
+        render_step_size=2e-2,
+        render_bkgd=bkgd,
+        early_stop_eps=1e-6,  # effectively no early stop for exactness
+    )
+    assert total > 0
+    np.testing.assert_allclose(colors, colors2, atol=2e-3)
+    np.testing.assert_allclose(opac, opac2, atol=2e-3)
+    # depth only meaningful where something was hit
+    hit = np.asarray(opac[:, 0]) > 0.1
+    np.testing.assert_allclose(
+        np.asarray(depth)[hit], np.asarray(depth2)[hit], atol=5e-2
+    )
+
+
+def test_test_mode_early_stop_saves_samples():
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup()
+    builder = _fn_builder(sigma_at, rgb_at)
+    kw = dict(
+        max_samples=2048,
+        samples_per_round=16,
+        near_plane=0.5,
+        far_plane=4.0,
+        render_step_size=2e-2,
+        render_bkgd=jnp.ones(3),
+    )
+    _, _, _, total_eager = occgrid_render_rays_test(
+        builder, estimator, state, rays_o, rays_d,
+        early_stop_eps=1e-2, **kw,
+    )
+    _, _, _, total_full = occgrid_render_rays_test(
+        builder, estimator, state, rays_o, rays_d,
+        early_stop_eps=1e-8, **kw,
+    )
+    assert total_eager < total_full
+
+
+def test_propnet_driver():
+    rng = np.random.default_rng(0)
+    n_rays = 32
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-2.0 * d)
+    rays_d = jnp.asarray(d)
+    sigma_at, rgb_at = _scene()
+
+    def prop_fn(ts, te):
+        x = rays_o[:, None] + ((ts + te) / 2)[..., None] * rays_d[:, None]
+        return sigma_at(x)
+
+    def rgb_sigma_fn(ts, te):
+        x = rays_o[:, None] + ((ts + te) / 2)[..., None] * rays_d[:, None]
+        return rgb_at(x), sigma_at(x)
+
+    colors, opac, depth, extras = propnet_render_rays(
+        rgb_sigma_fn,
+        [prop_fn],
+        PropNetEstimator(),
+        rays_o,
+        rays_d,
+        num_samples=32,
+        prop_samples=(64,),
+        near_plane=0.5,
+        far_plane=4.0,
+        sampling_type="uniform",
+        opaque_bkgd=False,
+        render_bkgd=jnp.ones(3),
+        requires_grad=True,
+    )
+    assert colors.shape == (n_rays, 3)
+    assert len(extras["prop_cache"]) == 2
+    # all rays hit the opaque ball
+    assert float(opac.mean()) > 0.9
