@@ -39,7 +39,16 @@ def main():
     occ = rng.random((1, 128, 128, 128)) < 0.08
     occ_state = occ_state.replace(binaries=jnp.asarray(occ))
 
-    field = NGPRadianceField(aabb=aabb)
+    import os
+    encoder_type = os.environ.get("BENCH_ENCODER", "fused")
+    n_levels = int(os.environ.get("BENCH_LEVELS", "8"))
+    n_feats = int(os.environ.get("BENCH_FEATS", "4"))
+    field = NGPRadianceField(
+        aabb=aabb,
+        encoder_type=encoder_type,
+        n_levels=n_levels,
+        n_features_per_level=n_feats,
+    )
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
 
@@ -115,6 +124,7 @@ def main():
         json.dumps(
             {
                 "metric": "ngp_occ_train_samples_per_sec",
+                "encoder": encoder_type,
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s (fwd+bwd)",
                 "vs_baseline": round(samples_per_sec / baseline, 3),

@@ -85,6 +85,7 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -137,6 +138,7 @@ def main():
     field = NGPRadianceField(
         aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
         unbounded=cfg["unbounded"],
+        encoder_type=args.encoder,
     )
     key = jax.random.PRNGKey(42)
     key, sub = jax.random.split(key)

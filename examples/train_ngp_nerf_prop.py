@@ -50,6 +50,7 @@ def main():
     )
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -99,14 +100,14 @@ def main():
         max_steps = args.max_steps or 20000
 
     key = jax.random.PRNGKey(42)
-    field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded)
+    field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded, encoder_type=args.encoder)
     key, sub = jax.random.split(key)
     field_params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
 
     prop_nets = [
         NGPDensityField(
             aabb=tuple(aabb), unbounded=unbounded,
-            n_levels=5, max_resolution=mr,
+            n_levels=5, max_resolution=mr, encoder_type=args.encoder,
         )
         for mr in max_res_prop
     ]

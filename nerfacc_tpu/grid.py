@@ -91,34 +91,55 @@ def _enlarge_aabb(aabb, factor: float):
     return jnp.concatenate([center - extent * factor, center + extent * factor])
 
 
+def _query_soa(
+    px: Array, py: Array, pz: Array, data: Array, base_aabb: Array
+) -> Tuple[Array, Array]:
+    """Mip-level occupancy lookup, structure-of-arrays layout.
+
+    Same semantics as :func:`_query` but takes per-axis coordinate arrays of
+    any (matching) shape — on TPU a ``(..., 3)`` point tensor is tiled with a
+    42x-padded minor dimension, so the hot traversal path keeps coordinates
+    as separate arrays and gathers the grid through a flat 1-D index.
+    """
+    shape = px.shape
+    nx = (px - base_aabb[0]) / (base_aabb[3] - base_aabb[0]) - 0.5
+    ny = (py - base_aabb[1]) / (base_aabb[4] - base_aabb[1]) - 0.5
+    nz = (pz - base_aabb[2]) / (base_aabb[5] - base_aabb[2]) - 0.5
+
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(nx), jnp.abs(ny)), jnp.abs(nz))
+    # frexp of ~0 yields exponent 0; clamp as the reference does.
+    maxval = jnp.clip(maxval, min=0.1)
+    _, exponent = jnp.frexp(maxval)
+    mip = jnp.clip(exponent + 1, min=0)
+    selector = mip < data.shape[0]
+
+    inv_scale = jnp.exp2(-mip.astype(px.dtype))
+    levels, rx, ry, rz = data.shape
+
+    def cell(coord, r):
+        i = ((coord * inv_scale + 0.5) * r).astype(jnp.int32)
+        return jnp.clip(i, 0, r - 1)
+
+    ix = cell(nx, rx)
+    iy = cell(ny, ry)
+    iz = cell(nz, rz)
+    mip_c = jnp.clip(mip, max=levels - 1)
+    flat_idx = ((mip_c * rx + ix) * ry + iy) * rz + iz
+
+    flat = data.reshape(-1)
+    vals = jnp.take(flat, flat_idx.reshape(-1)).reshape(shape)
+    return vals & selector if vals.dtype == bool else vals * selector, selector
+
+
 def _query(x: Array, data: Array, base_aabb: Array) -> Tuple[Array, Array]:
     """Mip-level occupancy lookup for points in a 2x-nested multi-level grid.
 
     Parity: ``nerfacc/grid.py:201-237``.  ``data`` is ``(m, rx, ry, rz)``;
     ``base_aabb`` the level-0 box.  Returns ``(values, selector)`` where
-    ``selector`` marks points inside the outermost level.
+    ``selector`` marks points inside the outermost level.  (AoS wrapper over
+    :func:`_query_soa`.)
     """
-    aabb_min, aabb_max = base_aabb[:3], base_aabb[3:]
-    x_norm = (x - aabb_min) / (aabb_max - aabb_min)
-
-    maxval = jnp.max(jnp.abs(x_norm - 0.5), axis=-1)
-    # frexp of ~0 yields exponent 0; clamp as the reference does.
-    maxval = jnp.clip(maxval, min=0.1)
-
-    _, exponent = jnp.frexp(maxval)
-    mip = jnp.clip(exponent + 1, min=0)
-    selector = mip < data.shape[0]
-
-    scale = jnp.exp2(mip.astype(x.dtype))
-    x_unit = (x_norm - 0.5) / scale[..., None] + 0.5
-
-    resolution = jnp.asarray(data.shape[1:], dtype=jnp.int32)
-    ix = (x_unit * resolution).astype(jnp.int32)
-    ix = jnp.clip(ix, 0, resolution - 1)
-    mip_c = jnp.clip(mip, max=data.shape[0] - 1)
-
-    vals = data[mip_c, ix[..., 0], ix[..., 1], ix[..., 2]]
-    return vals * selector, selector
+    return _query_soa(x[..., 0], x[..., 1], x[..., 2], data, base_aabb)
 
 
 def _march_ladder(
@@ -224,14 +245,17 @@ def traverse_grids(
     if rays_mask is not None:
         any_hit = any_hit & rays_mask
 
-    # Stage 1: ladder + occupancy query.
+    # Stage 1: ladder + occupancy query (SoA per-axis arrays — a
+    # (n_rays, L, 3) tensor would tile with a 42x-padded minor dim on TPU).
     edges = _march_ladder(near, max_lattice_steps + 1, step_size, cone_angle)
     t0 = edges[:, :-1]  # (n_rays, L)
     t1 = edges[:, 1:]
     t_mid = (t0 + t1) * 0.5
 
-    x = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
-    occ, _ = _query(x, binaries, base_aabb)
+    px = rays_o[:, 0:1] + t_mid * rays_d[:, 0:1]
+    py = rays_o[:, 1:2] + t_mid * rays_d[:, 1:2]
+    pz = rays_o[:, 2:3] + t_mid * rays_d[:, 2:3]
+    occ, _ = _query_soa(px, py, pz, binaries, base_aabb)
 
     inside = (t_mid >= jnp.maximum(near, t_enter)[:, None]) & (
         t_mid < far[:, None]

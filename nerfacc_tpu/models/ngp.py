@@ -18,6 +18,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .encoding import HashGridEncoder, spherical_harmonics_deg4
+from .hash_soa import HashGridEncoderFused, HashGridEncoderSoA
+
+_ENCODERS = {
+    "hash": HashGridEncoder,
+    "soa": HashGridEncoderSoA,
+    "fused": HashGridEncoderFused,
+}
 
 Array = jnp.ndarray
 
@@ -64,15 +71,23 @@ class NGPRadianceField(nn.Module):
     max_resolution: int = 4096
     geo_feat_dim: int = 15
     n_levels: int = 16
+    n_features_per_level: int = 2
     log2_hashmap_size: int = 19
     mlp_width: int = 64
+    encoder_type: str = "fused"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = HashGridEncoder(
+        # The fused encoder stores 8 corners per row; drop its per-level entry
+        # count 8x so the parameter budget matches the reference layout
+        # (2^19 entries x 2 feats == 2^16 rows x 8 corners x 2 feats).
+        log2_t = self.log2_hashmap_size - (
+            3 if self.encoder_type == "fused" else 0
+        )
+        self.encoder = _ENCODERS[self.encoder_type](
             n_levels=self.n_levels,
-            n_features_per_level=2,
-            log2_hashmap_size=self.log2_hashmap_size,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=log2_t,
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
@@ -137,14 +152,19 @@ class NGPDensityField(nn.Module):
     base_resolution: int = 16
     max_resolution: int = 128
     n_levels: int = 5
+    n_features_per_level: int = 2
     log2_hashmap_size: int = 17
     mlp_width: int = 64
+    encoder_type: str = "fused"
 
     def setup(self):
-        self.encoder = HashGridEncoder(
+        log2_t = self.log2_hashmap_size - (
+            3 if self.encoder_type == "fused" else 0
+        )
+        self.encoder = _ENCODERS[self.encoder_type](
             n_levels=self.n_levels,
-            n_features_per_level=2,
-            log2_hashmap_size=self.log2_hashmap_size,
+            n_features_per_level=self.n_features_per_level,
+            log2_hashmap_size=log2_t,
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )

@@ -1,0 +1,148 @@
+"""Model tests: encoder variants, NGP fields, MLP family, SH encoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfacc_tpu.models.encoding import (
+    HashGridEncoder,
+    spherical_harmonics_deg4,
+)
+from nerfacc_tpu.models.hash_soa import (
+    HashGridEncoderFused,
+    HashGridEncoderSoA,
+)
+from nerfacc_tpu.models.mlp import (
+    SinusoidalEncoder,
+    TNeRFRadianceField,
+    VanillaNeRFRadianceField,
+)
+from nerfacc_tpu.models.ngp import (
+    NGPDensityField,
+    NGPRadianceField,
+    contract_to_unisphere,
+    trunc_exp,
+)
+
+
+def test_hash_encoders_agree_aos_vs_soa():
+    """The SoA encoder must be numerically identical to the AoS parity
+    encoder (same table layout semantics, reordered compute)."""
+    kw = dict(n_levels=4, log2_hashmap_size=12, max_resolution=128)
+    enc_a = HashGridEncoder(**kw)
+    enc_s = HashGridEncoderSoA(**kw)
+    x = jnp.asarray(np.random.default_rng(0).random((257, 3), dtype=np.float32))
+    pa = enc_a.init(jax.random.PRNGKey(0), x[:8])
+    ps = enc_s.init(jax.random.PRNGKey(0), x[:8])
+    # Rearrange AoS table (LT, F) into SoA layout (F, LT) to share weights.
+    t = pa["params"]["table"]
+    ps = {"params": {"table": t.T}}
+    np.testing.assert_allclose(
+        enc_a.apply(pa, x), enc_s.apply(ps, x), rtol=1e-5, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize(
+    "enc_cls", [HashGridEncoder, HashGridEncoderSoA, HashGridEncoderFused]
+)
+def test_encoder_grads_flow(enc_cls):
+    enc = enc_cls(n_levels=3, log2_hashmap_size=10, max_resolution=64)
+    x = jnp.asarray(np.random.default_rng(1).random((65, 3), dtype=np.float32))
+    p = enc.init(jax.random.PRNGKey(0), x[:8])
+    out = enc.apply(p, x)
+    assert out.shape == (65, enc.latent_dim)
+    g = jax.grad(lambda pp: (enc.apply(pp, x) ** 2).sum())(p)
+    table_g = g["params"]["table"]
+    assert float(jnp.abs(table_g).sum()) > 0
+    # position gradients too (trilinear weights are differentiable)
+    gx = jax.grad(lambda xx: (enc.apply(p, xx) ** 2).sum())(x)
+    assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_encoder_continuity_soa():
+    """Shared-vertex encoders are continuous across cell boundaries."""
+    enc = HashGridEncoderSoA(n_levels=2, log2_hashmap_size=14, max_resolution=32)
+    p = enc.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)))
+    eps = 1e-5
+    # points straddling the x = 8/16 boundary of the coarse level
+    x0 = jnp.asarray([[0.5 - eps, 0.3, 0.7]])
+    x1 = jnp.asarray([[0.5 + eps, 0.3, 0.7]])
+    d = np.abs(np.asarray(enc.apply(p, x0) - enc.apply(p, x1))).max()
+    assert d < 1e-3
+
+
+def test_trunc_exp_grad_clamped():
+    g = jax.grad(lambda x: trunc_exp(x))(20.0)
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-6)
+
+
+def test_contract_to_unisphere_range():
+    aabb = jnp.asarray([-1.0, -1, -1, 1, 1, 1])
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1000, 3)).astype(np.float32) * 5
+    )
+    u = contract_to_unisphere(x, aabb)
+    assert float(u.min()) >= 0.0 and float(u.max()) <= 1.0
+    # points inside the aabb map linearly to [0.25, 0.75]
+    xin = jnp.asarray([[0.5, -0.5, 0.0]])
+    np.testing.assert_allclose(
+        contract_to_unisphere(xin, aabb)[0], [0.625, 0.375, 0.5], atol=1e-6
+    )
+
+
+def test_sh_deg4_orthonormalish():
+    """SH basis: constant term and value sanity on canonical directions."""
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    sh = spherical_harmonics_deg4(d)
+    assert sh.shape == (1, 16)
+    np.testing.assert_allclose(sh[0, 0], 0.28209479, rtol=1e-6)
+    np.testing.assert_allclose(sh[0, 2], 0.48860251, rtol=1e-6)  # z term
+    np.testing.assert_allclose(sh[0, 1], 0.0, atol=1e-7)  # y term
+
+
+def test_ngp_field_selector_zeroes_outside():
+    f = NGPRadianceField(
+        aabb=[-1, -1, -1, 1, 1, 1], n_levels=3, log2_hashmap_size=10,
+        max_resolution=64,
+    )
+    p = f.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    x_out = jnp.asarray([[2.0, 0.0, 0.0]])
+    assert float(f.apply(p, x_out, method="query_density")[0, 0]) == 0.0
+    x_in = jnp.asarray([[0.1, 0.0, 0.0]])
+    assert float(f.apply(p, x_in, method="query_density")[0, 0]) > 0.0
+
+
+def test_ngp_density_field():
+    f = NGPDensityField(aabb=[-1, -1, -1, 1, 1, 1], n_levels=3,
+                        log2_hashmap_size=10)
+    p = f.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)))
+    sig = f.apply(p, jnp.zeros((16, 3)))
+    assert sig.shape == (16, 1)
+    assert float(sig.min()) > 0
+
+
+def test_vanilla_nerf_shapes():
+    f = VanillaNeRFRadianceField(net_depth=2, net_width=32)
+    x = jnp.zeros((16, 3))
+    d = jnp.ones((16, 3))
+    p = f.init(jax.random.PRNGKey(0), x, d)
+    rgb, sigma = f.apply(p, x, d)
+    assert rgb.shape == (16, 3) and sigma.shape == (16, 1)
+    assert float(rgb.min()) >= 0 and float(rgb.max()) <= 1
+    dens = f.apply(p, x, method="query_density")
+    assert float(dens.min()) >= 0
+
+
+def test_tnerf_time_dependence():
+    f = TNeRFRadianceField()
+    x = jnp.asarray(np.random.default_rng(0).random((8, 3), dtype=np.float32))
+    t0 = jnp.zeros((8, 1))
+    t1 = jnp.ones((8, 1))
+    p = f.init(jax.random.PRNGKey(0), x, t0, x)
+    d0 = f.apply(p, x, t0, method="query_density")
+    d1 = f.apply(p, x, t1, method="query_density")
+    # warp starts tiny (1e-4 init) so these are close but the net is valid
+    assert d0.shape == (8, 1)
+    assert np.isfinite(np.asarray(d1)).all()
