@@ -33,11 +33,16 @@ def main():
 
     estimator = OccGridEstimator(roi_aabb=aabb, resolution=128, levels=1)
     occ_state = estimator.init()
-    # Converged-equilibrium-like occupancy: ~8% cells occupied (a trained
-    # lego grid occupies roughly this fraction).
+    # Converged-equilibrium-like occupancy: a spatially coherent shell
+    # (an object surface) occupying ~8% of cells — random occupancy would be
+    # unrealistically pessimal for macro skipping.
     rng = np.random.default_rng(0)
-    occ = rng.random((1, 128, 128, 128)) < 0.08
-    occ_state = occ_state.replace(binaries=jnp.asarray(occ))
+    g = (np.arange(128) + 0.5) / 128 * 2 - 1
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(gx**2 + gy**2 + gz**2)
+    occ = (np.abs(r - 0.45) < 0.08)[None]
+    print(f"occupancy fraction: {occ.mean():.4f}", flush=True)
+    occ_state = estimator.set_binaries(occ_state, jnp.asarray(occ))
 
     import os
     encoder_type = os.environ.get("BENCH_ENCODER", "fused")

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..grid import _enlarge_aabb, num_ladder_steps, traverse_grids
+from ..grid import (
+    _enlarge_aabb,
+    build_skip_grid,
+    num_ladder_steps,
+    traverse_grids,
+)
 from ..volrend import (
     render_visibility_from_alpha,
     render_visibility_from_density,
@@ -48,6 +53,7 @@ class OccGridState:
     aabbs: Array  # (levels, 6)
     occs: Array  # (levels * cells_per_lvl,)
     binaries: Array  # (levels, rx, ry, rz) bool
+    skip_grid: Optional[Array] = None  # (levels, rx/f, ...) dilated macro occupancy
 
 
 class OccGridEstimator(AbstractEstimator):
@@ -66,7 +72,9 @@ class OccGridEstimator(AbstractEstimator):
         roi_aabb: Union[Sequence[float], np.ndarray],
         resolution: Union[int, Sequence[int]] = 128,
         levels: int = 1,
+        skip_factor: int = 4,
     ) -> None:
+        self.skip_factor = int(skip_factor)
         if isinstance(resolution, int):
             resolution = [resolution] * self.DIM
         resolution = tuple(int(r) for r in resolution)
@@ -99,10 +107,23 @@ class OccGridEstimator(AbstractEstimator):
 
     # ------------------------------------------------------------------
     def init(self) -> OccGridState:
+        binaries = jnp.zeros((self.levels,) + self.resolution, bool)
         return OccGridState(
             aabbs=jnp.asarray(self._aabbs_np),
             occs=jnp.zeros((self.levels * self.cells_per_lvl,), jnp.float32),
-            binaries=jnp.zeros((self.levels,) + self.resolution, bool),
+            binaries=binaries,
+            skip_grid=build_skip_grid(binaries, self.skip_factor),
+        )
+
+    def set_binaries(self, state: OccGridState, binaries: Array) -> OccGridState:
+        """Replace the binary grid and rebuild the derived skip grid.
+
+        Use this instead of ``state.replace(binaries=...)`` — a stale
+        ``skip_grid`` silently prunes everything in the macro-skip traversal.
+        """
+        return state.replace(
+            binaries=binaries,
+            skip_grid=build_skip_grid(binaries, self.skip_factor),
         )
 
     # ------------------------------------------------------------------
@@ -311,7 +332,11 @@ class OccGridEstimator(AbstractEstimator):
         )
         thre = jnp.minimum(mean_occ, occ_thre)
         binaries = (occs > thre).reshape(state.binaries.shape)
-        return state.replace(occs=occs, binaries=binaries)
+        return state.replace(
+            occs=occs,
+            binaries=binaries,
+            skip_grid=build_skip_grid(binaries, self.skip_factor),
+        )
 
     # ------------------------------------------------------------------
     def mark_invisible_cells(

@@ -163,6 +163,20 @@ def _march_ladder(
     return jnp.where(k <= k_sw[..., None], t_lin, t_geo)
 
 
+def _ladder_at(near: Array, k: Array, step_size: float, cone_angle: float) -> Array:
+    """Ladder edge position at integer index ``k`` (closed form; see
+    :func:`_march_ladder`).  ``near`` broadcasts against ``k``."""
+    kf = k.astype(near.dtype)
+    if cone_angle <= 0.0:
+        return near + kf * step_size
+    t_switch = step_size / cone_angle
+    k_sw = jnp.ceil(jnp.maximum(t_switch - near, 0.0) / step_size)
+    t_lin = near + kf * step_size
+    t_at_sw = near + k_sw * step_size
+    t_geo = t_at_sw * jnp.power(1.0 + cone_angle, kf - k_sw)
+    return jnp.where(kf <= k_sw, t_lin, t_geo)
+
+
 def num_ladder_steps(
     t_range: float, step_size: float, cone_angle: float, near: float = 0.0
 ) -> int:
@@ -181,6 +195,42 @@ def num_ladder_steps(
         / math.log1p(cone_angle)
     )
     return max(1, int(n_lin + max(0.0, n_geo) + 2))
+
+
+def build_skip_grid(
+    binaries: Array, factor: int = 4, dilation: int = 1
+) -> Array:
+    """Down-sampled + dilated occupancy for macro-segment skipping.
+
+    ``binaries``: (m, rx, ry, rz) bool.  Returns (m, rx/f, ry/f, rz/f) bool
+    where a macro cell is occupied iff any fine cell in its ``factor``-block
+    or within ``dilation`` macro cells is occupied.  Rebuilt at occupancy
+    updates (cheap max-pool) — the vectorized analogue of the DDA's
+    empty-macro-region skipping.
+    """
+    m, rx, ry, rz = binaries.shape
+    f = factor
+    coarse = binaries.reshape(m, rx // f, f, ry // f, f, rz // f, f).any(
+        axis=(2, 4, 6)
+    )
+    # dilate by max-pooling with a (2d+1)^3 window
+    for axis in (1, 2, 3):
+        shifted = [coarse]
+        for s in range(1, dilation + 1):
+            pad_lo = [(0, 0)] * 4
+            pad_hi = [(0, 0)] * 4
+            pad_lo[axis] = (s, 0)
+            pad_hi[axis] = (0, s)
+            shifted.append(jnp.pad(coarse, pad_lo)[
+                tuple(slice(None) if a != axis else slice(None, coarse.shape[axis])
+                      for a in range(4))
+            ])
+            shifted.append(jnp.pad(coarse, pad_hi)[
+                tuple(slice(None) if a != axis else slice(s, None)
+                      for a in range(4))
+            ])
+        coarse = jnp.stack(shifted).any(axis=0)
+    return coarse
 
 
 class TraversalResults(NamedTuple):
@@ -209,6 +259,10 @@ def traverse_grids(
     *,
     max_lattice_steps: int = 1024,
     base_aabb: Optional[Array] = None,
+    skip_grid: Optional[Array] = None,
+    skip_factor: int = 4,
+    macro_stride: int = 16,
+    max_macro_segments: int = 16,
 ) -> TraversalResults:
     """Vectorized multi-level grid traversal (see module docstring).
 
@@ -245,22 +299,89 @@ def traverse_grids(
     if rays_mask is not None:
         any_hit = any_hit & rays_mask
 
-    # Stage 1: ladder + occupancy query (SoA per-axis arrays — a
-    # (n_rays, L, 3) tensor would tile with a 42x-padded minor dim on TPU).
-    edges = _march_ladder(near, max_lattice_steps + 1, step_size, cone_angle)
-    t0 = edges[:, :-1]  # (n_rays, L)
-    t1 = edges[:, 1:]
-    t_mid = (t0 + t1) * 0.5
+    lower = jnp.maximum(near, t_enter)
+    examined_end = None  # how far marching looked (for termination planes)
+
+    if skip_grid is not None and cone_angle <= 0.0:
+        # --- Hierarchical stage 1: macro-skip + fine refine. -------------
+        # The vectorized analogue of the CUDA DDA's empty-space skipping:
+        # a coarse dilated grid prunes macro segments of `macro_stride`
+        # steps, then only the first `max_macro_segments` live segments per
+        # ray are refined at full resolution — shrinking every downstream
+        # array by ~L / (K * stride).
+        m_segs = -(-max_lattice_steps // macro_stride)
+        k_keep = max_macro_segments
+        span = macro_stride * step_size
+
+        km = (jnp.arange(m_segs, dtype=dtype) + 0.5) * macro_stride
+        tm = near[:, None] + km * step_size  # (n, M) macro midpoints
+        mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
+        my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
+        mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
+        mocc, _ = _query_soa(mx, my, mz, skip_grid, base_aabb)
+        macro_valid = (
+            mocc
+            & (tm + span / 2 > lower[:, None])
+            & (tm - span / 2 < far[:, None])
+            & any_hit[:, None]
+        )
+
+        mcum = jnp.cumsum(macro_valid.astype(jnp.int32), axis=-1)
+        mslot = jnp.where(
+            macro_valid & (mcum <= k_keep), mcum - 1, k_keep
+        )
+        mrows = jnp.broadcast_to(
+            jnp.arange(n_rays, dtype=jnp.int32)[:, None], mslot.shape
+        )
+        seg_idx = (
+            jnp.full((n_rays, k_keep), m_segs, jnp.int32)
+            .at[mrows, mslot]
+            .set(
+                jnp.broadcast_to(
+                    jnp.arange(m_segs, dtype=jnp.int32), mslot.shape
+                ),
+                mode="drop",
+            )
+        )
+        seg_live = seg_idx < m_segs
+        macro_truncated = mcum[:, -1] > k_keep
+        # Resumption point when macro-truncated: end of the last kept seg.
+        last_seg = jnp.max(jnp.where(seg_live, seg_idx, 0), axis=-1)
+        macro_end = near + (last_seg + 1).astype(dtype) * span
+        examined_end = jnp.where(
+            macro_truncated, macro_end, jnp.full_like(near, jnp.inf)
+        )
+
+        # Fine lattice over kept segments only: (n, K*stride).
+        p = (
+            seg_idx[:, :, None] * macro_stride
+            + jnp.arange(macro_stride, dtype=jnp.int32)
+        ).reshape(n_rays, k_keep * macro_stride)
+        p = jnp.minimum(p, max_lattice_steps)
+        t0 = _ladder_at(near[:, None], p, step_size, cone_angle)
+        t1 = _ladder_at(near[:, None], p + 1, step_size, cone_angle)
+        t_mid = (t0 + t1) * 0.5
+        seg_live_fine = jnp.repeat(seg_live, macro_stride, axis=-1)
+        lattice_end = near + jnp.float32(max_lattice_steps) * step_size
+    else:
+        # --- Dense stage 1: full ladder (SoA per-axis arrays — a
+        # (n_rays, L, 3) tensor would tile with a 42x-padded minor dim).
+        edges = _march_ladder(near, max_lattice_steps + 1, step_size, cone_angle)
+        t0 = edges[:, :-1]  # (n_rays, L)
+        t1 = edges[:, 1:]
+        t_mid = (t0 + t1) * 0.5
+        seg_live_fine = None
+        lattice_end = edges[:, -1]
 
     px = rays_o[:, 0:1] + t_mid * rays_d[:, 0:1]
     py = rays_o[:, 1:2] + t_mid * rays_d[:, 1:2]
     pz = rays_o[:, 2:3] + t_mid * rays_d[:, 2:3]
     occ, _ = _query_soa(px, py, pz, binaries, base_aabb)
 
-    inside = (t_mid >= jnp.maximum(near, t_enter)[:, None]) & (
-        t_mid < far[:, None]
-    )
+    inside = (t_mid >= lower[:, None]) & (t_mid < far[:, None])
     valid = occ & inside & any_hit[:, None]
+    if seg_live_fine is not None:
+        valid = valid & seg_live_fine
 
     # Stage 2: per-row compaction (count pass + fill pass, vectorized).
     vcum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
@@ -281,7 +402,9 @@ def traverse_grids(
     # resumes from here (the iterative test-mode renderer, §3.4).
     hit_cap = vcum[:, -1] >= capacity
     last_end = jnp.max(t_ends, axis=-1)
-    examined = jnp.minimum(edges[:, -1], far)
+    examined = jnp.minimum(lattice_end, far)
+    if examined_end is not None:
+        examined = jnp.minimum(examined, examined_end)
     term = jnp.where(hit_cap, last_end, jnp.maximum(examined, near))
 
     # Park invalid slots at t_start == t_end == termination (exact no-ops).

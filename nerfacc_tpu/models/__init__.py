@@ -1,6 +1,8 @@
 from .encoding import HashGridEncoder, spherical_harmonics_deg4
+from .hash_soa import HashGridEncoderFused, HashGridEncoderSoA
 from .mlp import (
     MLP,
+    NDRTNeRFRadianceField,
     NerfMLP,
     SinusoidalEncoder,
     TNeRFRadianceField,
@@ -16,10 +18,13 @@ from .ngp import (
 __all__ = [
     "MLP",
     "NerfMLP",
+    "NDRTNeRFRadianceField",
     "SinusoidalEncoder",
     "VanillaNeRFRadianceField",
     "TNeRFRadianceField",
     "HashGridEncoder",
+    "HashGridEncoderSoA",
+    "HashGridEncoderFused",
     "spherical_harmonics_deg4",
     "NGPRadianceField",
     "NGPDensityField",

@@ -142,8 +142,9 @@ class HashGridEncoderFused(nn.Module):
     procedural benchmark; use :class:`HashGridEncoderSoA` when exact tcnn
     parametrization matters.
 
-    Layout: table stored ``(8*F, L*T)`` and col-gathered so every
-    intermediate keeps the sample axis minor (no tile padding).
+    Layout: table stored row-major ``(L*T, 8*F)`` — row gathers AND the
+    autodiff row-scatter backward both run at the ~6-8 ns/index wall, whereas
+    a column-scatter is ~13x slower (measured on v5e).
     """
 
     n_levels: int = 8
@@ -175,7 +176,7 @@ class HashGridEncoderFused(nn.Module):
         resolutions = self._resolutions()
 
         table = self.param(
-            "table", nn.initializers.uniform(scale=2e-4), (8 * F, L * T)
+            "table", nn.initializers.uniform(scale=2e-4), (L * T, 8 * F)
         )
         table = table - 1e-4
 
@@ -213,21 +214,26 @@ class HashGridEncoderFused(nn.Module):
         idx = jnp.where(use_dense, dense_idx & (T - 1), h.astype(jnp.int32))
         idx = (idx + level_offset).reshape(-1)  # (L*n,)
 
-        g = jnp.take(table, idx, axis=1)  # (8F, L*n) — sample axis minor
-        g = g.reshape(8, F, L, n)
+        g = jnp.take(table, idx, axis=0)  # (L*n, 8F)
 
-        # Trilinear combine, all (L, n) arrays.
-        w = [
-            (wx if dx else 1.0 - wx)
-            * (wy if dy else 1.0 - wy)
-            * (wz if dz else 1.0 - wz)
-            for dx in (0, 1)
-            for dy in (0, 1)
-            for dz in (0, 1)
-        ]
-        out = 0.0
-        for c in range(8):
-            out = out + g[c] * w[c][None]  # (F, L, n)
+        # Trilinear combine: weights (L, n) per corner, applied to the
+        # row-gathered features via a batched (1,8)x(8,F) contraction.
+        w = jnp.stack(
+            [
+                (wx if dx else 1.0 - wx)
+                * (wy if dy else 1.0 - wy)
+                * (wz if dz else 1.0 - wz)
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=-1,
+        )  # (L, n, 8)
+        out = jnp.einsum(
+            "kc,kcf->kf",
+            w.reshape(L * n, 8),
+            g.reshape(L * n, 8, F),
+        )  # (L*n, F)
 
-        out = jnp.transpose(out, (2, 1, 0))  # (n, L, F)
+        out = jnp.transpose(out.reshape(L, n, F), (1, 0, 2))  # (n, L, F)
         return out.reshape(batch_shape + (L * F,))

@@ -211,3 +211,81 @@ class TNeRFRadianceField(nn.Module):
 
     def __call__(self, x: Array, t: Array, condition: Optional[Array] = None):
         return self.nerf(self._warped(x, t), condition=condition)
+
+
+class NDRTNeRFRadianceField(nn.Module):
+    """Invertible-warp dynamic NeRF (``mlp.py:286-395``; NDR,
+    arXiv:2206.15258).  Three coupled invertible blocks, each translating/
+    rotating a 2-D slice conditioned on the third coordinate and time."""
+
+    def setup(self):
+        self.time_encoder = SinusoidalEncoder(1, 0, 4, True)
+        self.posi_encoder_1 = SinusoidalEncoder(2, 0, 4, True)
+        self.posi_encoder_2 = SinusoidalEncoder(1, 0, 4, True)
+        self.warp_layers_1 = [
+            MLP(
+                output_dim=1,
+                net_depth=2,
+                net_width=128,
+                skip_layer=None,
+                output_init_scale=1e-4,
+            )
+            for _ in range(3)
+        ]
+        self.warp_layers_2 = [
+            MLP(
+                output_dim=1 + 2,
+                net_depth=1,
+                net_width=128,
+                skip_layer=None,
+                output_init_scale=1e-4,
+            )
+            for _ in range(3)
+        ]
+        self.time_layers_1 = [
+            MLP(output_dim=64, net_depth=0, skip_layer=None) for _ in range(3)
+        ]
+        self.time_layers_2 = [
+            MLP(output_dim=64, net_depth=0, skip_layer=None) for _ in range(3)
+        ]
+        self.nerf = VanillaNeRFRadianceField()
+
+    def _warp_block(self, x: Array, t_enc: Array, i: int) -> Array:
+        uv, w = x[..., :2], x[..., 2:]
+        dw = self.warp_layers_1[i](
+            jnp.concatenate(
+                [self.posi_encoder_1(uv), self.time_layers_1[i](t_enc)], -1
+            )
+        )
+        w = w + dw
+        rt = self.warp_layers_2[i](
+            jnp.concatenate(
+                [self.posi_encoder_2(w), self.time_layers_2[i](t_enc)], -1
+            )
+        )
+        theta = rt[..., 0]
+        tr = rt[..., 1:]
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        u = uv[..., 0] - tr[..., 0]
+        v = uv[..., 1] - tr[..., 1]
+        # inverse 2-D rotation applied to the translated uv
+        uv = jnp.stack([cos * u - sin * v, sin * u + cos * v], -1)
+        return jnp.concatenate([uv, w], -1)
+
+    def warp(self, x: Array, t: Array) -> Array:
+        t_enc = self.time_encoder(t)
+        x = self._warp_block(x, t_enc, 0)
+        x = x[..., jnp.array([1, 2, 0])]
+        x = self._warp_block(x, t_enc, 1)
+        x = x[..., jnp.array([2, 0, 1])]
+        x = self._warp_block(x, t_enc, 2)
+        return x
+
+    def query_opacity(self, x: Array, t: Array, step_size: float) -> Array:
+        return self.query_density(x, t) * step_size
+
+    def query_density(self, x: Array, t: Array) -> Array:
+        return self.nerf.query_density(self.warp(x, t))
+
+    def __call__(self, x: Array, t: Array, condition: Optional[Array] = None):
+        return self.nerf(self.warp(x, t), condition=condition)

@@ -77,7 +77,23 @@ def occgrid_render_rays(
     lattice = num_ladder_steps(
         estimator.max_t_range, render_step_size, cone_angle, near=near_plane
     )
-    row_cap = max_samples_per_ray or lattice
+    use_skip = state.skip_grid is not None and cone_angle <= 0.0
+    if use_skip:
+        # Macro span must stay under 2 skip-cells for the dilation-1 midpoint
+        # query to be conservative (see build_skip_grid).
+        cell0 = float(
+            (estimator.roi_aabb[3] - estimator.roi_aabb[0])
+            / estimator.resolution[0]
+        )
+        macro_stride = int(2 * estimator.skip_factor * cell0 / render_step_size)
+        macro_stride = max(4, min(64, macro_stride))
+        max_macro = min(24, -(-lattice // macro_stride))
+        row_cap = max_samples_per_ray or (max_macro * macro_stride)
+        row_cap = min(row_cap, max_macro * macro_stride)
+    else:
+        macro_stride = 16
+        max_macro = 16
+        row_cap = max_samples_per_ray or lattice
     res = traverse_grids(
         rays_o,
         rays_d,
@@ -89,6 +105,9 @@ def occgrid_render_rays(
         cone_angle=cone_angle,
         traverse_steps_limit=row_cap,
         max_lattice_steps=lattice,
+        skip_grid=state.skip_grid if use_skip else None,
+        macro_stride=macro_stride,
+        max_macro_segments=max_macro,
     )
 
     # 2. Compact valid samples to the static field budget.

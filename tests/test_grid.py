@@ -138,10 +138,11 @@ def test_sampling_with_min_max_distances():
         roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=resolution, levels=levels
     )
     state = est.init()
-    state = state.replace(
-        binaries=jnp.asarray(
+    state = est.set_binaries(
+        state,
+        jnp.asarray(
             rng.random((levels, resolution, resolution, resolution)) > 0.5
-        )
+        ),
     )
     t_min = jnp.asarray(rng.random((n_rays,), dtype=np.float32))
     t_max = t_min + jnp.asarray(rng.random((n_rays,), dtype=np.float32))
@@ -181,3 +182,37 @@ def test_mark_invisible_cells():
     state = est.mark_invisible_cells(state, K, pose, width, height)
     assert int((state.occs == -1).sum()) == 77660
     assert int((state.occs == 0).sum()) == 53412
+
+
+def test_skip_grid_traversal_matches_dense():
+    """Macro-skip traversal must emit the same samples as dense traversal
+    (the skip grid is conservative by construction)."""
+    from nerfacc_tpu.grid import build_skip_grid
+
+    rng = np.random.default_rng(3)
+    n_rays = 32
+    rays_o, rays_d = _rand_rays(n_rays, seed=3, origin_scale=2.0)
+
+    base_aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    aabbs = base_aabb[None]
+    # coherent occupancy: a shell
+    g = (np.arange(64) + 0.5) / 64 * 2 - 1
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(gx**2 + gy**2 + gz**2)
+    binaries = jnp.asarray((np.abs(r - 0.5) < 0.1)[None])
+    skip = build_skip_grid(binaries, factor=4)
+
+    kw = dict(step_size=0.02, max_lattice_steps=256)
+    dense = traverse_grids(rays_o, rays_d, binaries, aabbs, **kw)
+    skipr = traverse_grids(
+        rays_o, rays_d, binaries, aabbs,
+        skip_grid=skip, macro_stride=8, max_macro_segments=24, **kw,
+    )
+    np.testing.assert_array_equal(dense.num_valid, skipr.num_valid)
+    # same sample positions where valid
+    for a, b in [(dense.t_starts, skipr.t_starts), (dense.t_ends, skipr.t_ends)]:
+        np.testing.assert_allclose(
+            jnp.where(dense.is_valid, a, 0.0),
+            jnp.where(skipr.is_valid, b, 0.0),
+            atol=1e-5,
+        )

@@ -22,7 +22,9 @@ def _setup(n_rays):
     aabb = [-1, -1, -1, 1, 1, 1]
     estimator = OccGridEstimator(roi_aabb=aabb, resolution=16, levels=1)
     occ_state = estimator.init()
-    occ_state = occ_state.replace(binaries=jnp.ones_like(occ_state.binaries))
+    occ_state = estimator.set_binaries(
+        occ_state, jnp.ones_like(occ_state.binaries)
+    )
     field = NGPRadianceField(
         aabb=aabb, n_levels=4, log2_hashmap_size=12, max_resolution=64
     )
