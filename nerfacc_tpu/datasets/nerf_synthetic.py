@@ -110,6 +110,17 @@ class SubjectLoader:
     def __len__(self):
         return len(self.images)
 
+    def _native_image_ids(self, seed: int, n_rays: int) -> np.ndarray:
+        """Reproduce the native sampler's per-ray image ids (splitmix64)."""
+        i = np.arange(n_rays, dtype=np.uint64)
+        x = (np.uint64(seed) ^ (i * np.uint64(0x9E3779B97F4A7C15))) + np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        return (x % np.uint64(len(self.images))).astype(np.int64)
+
     def update_num_rays(self, num_rays: int):
         """Dynamic ray-batch resizing (``nerf_synthetic.py:161``).
 
@@ -123,9 +134,48 @@ class SubjectLoader:
 
     def fetch_data(self, index: int):
         """One batch: random pixels across images (train) or the full image
-        (eval).  Returns dict with 'rays', 'pixels', 'color_bkgd'."""
+        (eval).  Returns dict with 'rays', 'pixels', 'color_bkgd'.
+
+        Uses the native OpenMP sampler (``native/rayforge.cpp``) when built
+        and applicable (training batches over images); falls back to numpy.
+        """
         rng = self._rng
         num_rays = self.num_rays
+
+        if self.training and self.batch_over_images:
+            from . import _native
+
+            if _native.available():
+                if self.color_bkgd_aug == "random":
+                    color_bkgd = rng.random(3).astype(np.float32)
+                elif self.color_bkgd_aug == "white":
+                    color_bkgd = np.ones(3, np.float32)
+                else:
+                    color_bkgd = np.zeros(3, np.float32)
+                seed = int(rng.integers(0, 2**63 - 1))
+                out = _native.sample_rays(
+                    self.images,
+                    self.camtoworlds,
+                    self.K,
+                    color_bkgd,
+                    seed,
+                    num_rays,
+                    self.OPENGL_CAMERA,
+                )
+                if out is not None:
+                    o, d, pix = out
+                    # image ids are not exposed by the fast path; dynamic
+                    # subclasses (timestamps) re-derive them from the seed.
+                    self._last_image_id = self._native_image_ids(
+                        seed, num_rays
+                    )
+                    return {
+                        "rays": Rays(
+                            origins=jnp.asarray(o), viewdirs=jnp.asarray(d)
+                        ),
+                        "pixels": jnp.asarray(pix),
+                        "color_bkgd": jnp.asarray(color_bkgd),
+                    }
 
         if self.training:
             if self.batch_over_images:
