@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Local CI driver (parity: the reference's ``scripts/run_dev_checks.py`` —
+which ran isort/black/pytest/sphinx).  Here: compile-check all sources,
+build the native library, run the test suite, and smoke the training CLIs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import py_compile
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def run(cmd, **kw):
+    print(f"$ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, cwd=ROOT, **kw).returncode
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--fast", action="store_true", help="skip CLI smokes")
+    args = p.parse_args()
+
+    failures = []
+
+    # 1. compile-check every python file
+    n = 0
+    for f in ROOT.rglob("*.py"):
+        if ".git" in f.parts:
+            continue
+        try:
+            py_compile.compile(str(f), doraise=True)
+            n += 1
+        except py_compile.PyCompileError as e:
+            failures.append(f"compile: {e}")
+    print(f"compiled {n} python files")
+
+    # 2. native build
+    if run(["make", "-C", "native"]) != 0:
+        failures.append("native build")
+
+    # 3. tests
+    if run([sys.executable, "-m", "pytest", "tests/", "-q"]) != 0:
+        failures.append("pytest")
+
+    # 4. CLI smokes
+    if not args.fast:
+        for script in [
+            "examples/train_mlp_nerf.py",
+            "examples/train_ngp_nerf_occ.py",
+            "examples/train_ngp_nerf_prop.py",
+            "examples/train_mlp_tnerf.py",
+        ]:
+            if run(
+                [sys.executable, script, "--smoke", "--cpu", "--max_steps", "30"]
+            ) != 0:
+                failures.append(f"smoke: {script}")
+
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
