@@ -48,11 +48,13 @@ def main():
     encoder_type = os.environ.get("BENCH_ENCODER", "fused")
     n_levels = int(os.environ.get("BENCH_LEVELS", "8"))
     n_feats = int(os.environ.get("BENCH_FEATS", "4"))
+    log2_t = int(os.environ.get("BENCH_LOG2T", "19"))
     field = NGPRadianceField(
         aabb=aabb,
         encoder_type=encoder_type,
         n_levels=n_levels,
         n_features_per_level=n_feats,
+        log2_hashmap_size=log2_t,
     )
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))

@@ -86,6 +86,8 @@ def main():
     p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
+    p.add_argument("--field", type=str, default="ngp", choices=["ngp", "tensorf", "kplanes"],
+                   help="radiance field family (tensorf/kplanes = the reference's benchmark plug-ins)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -135,11 +137,21 @@ def main():
     )
     occ_state = estimator.init()
 
-    field = NGPRadianceField(
-        aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
-        unbounded=cfg["unbounded"],
-        encoder_type=args.encoder,
-    )
+    field_aabb = tuple(np.asarray(estimator._aabbs_np[-1]).tolist())
+    if args.field == "ngp":
+        field = NGPRadianceField(
+            aabb=field_aabb,
+            unbounded=cfg["unbounded"],
+            encoder_type=args.encoder,
+        )
+    elif args.field == "tensorf":
+        from nerfacc_tpu.models.tensorf import TensoRFRadianceField
+
+        field = TensoRFRadianceField(aabb=field_aabb)
+    else:
+        from nerfacc_tpu.models.tensorf import KPlanesRadianceField
+
+        field = KPlanesRadianceField(aabb=field_aabb)
     key = jax.random.PRNGKey(42)
     key, sub = jax.random.split(key)
     params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))

@@ -245,6 +245,200 @@ class TraversalResults(NamedTuple):
     far_effective: Array  # (n_rays,) min(far_plane, outermost-grid exit)
 
 
+class CompactSamples(NamedTuple):
+    """Flat compacted samples straight from the traversal lattice."""
+
+    ray_indices: Array  # (capacity,) int32
+    t_starts: Array  # (capacity,)
+    t_ends: Array  # (capacity,)
+    kept: Array  # (capacity,) bool
+    num_valid: Array  # (n_rays,)
+    termination_planes: Array  # (n_rays,)
+    far_effective: Array  # (n_rays,)
+
+
+def traverse_and_compact(
+    rays_o: Array,
+    rays_d: Array,
+    binaries: Array,
+    aabbs: Array,
+    capacity: int,
+    near_planes: Optional[Array] = None,
+    far_planes: Optional[Array] = None,
+    step_size: float = 1e-3,
+    cone_angle: float = 0.0,
+    traverse_steps_limit: Optional[int] = None,
+    rays_mask: Optional[Array] = None,
+    *,
+    max_lattice_steps: int = 1024,
+    base_aabb: Optional[Array] = None,
+    skip_grid: Optional[Array] = None,
+    macro_stride: int = 16,
+    max_macro_segments: int = 16,
+) -> CompactSamples:
+    """Fused traversal + global compaction (the training hot path).
+
+    :func:`traverse_grids` materializes row-compacted ``(n_rays, row_cap)``
+    buffers via two big scatters (~2 x n_rays x row_cap scatter indices —
+    the dominant traversal cost measured on v5e).  Here compaction goes
+    straight from the lattice mask to the flat ``capacity`` output with two
+    binary searches per output slot (log(n_rays) + log(row_cap) gathers —
+    ~5x fewer indexed ops), and sample positions come from the closed-form
+    ladder instead of stored edges.
+    """
+    n_rays = rays_o.shape[0]
+    dtype = rays_o.dtype
+    row_limit = traverse_steps_limit or max_lattice_steps
+
+    if near_planes is None:
+        near_planes = jnp.zeros((n_rays,), dtype)
+    if far_planes is None:
+        far_planes = jnp.full((n_rays,), jnp.inf, dtype)
+    if base_aabb is None:
+        base_aabb = aabbs[0]
+
+    t_mins, t_maxs, hits = ray_aabb_intersect(rays_o, rays_d, aabbs)
+    t_enter = jnp.min(jnp.where(hits, t_mins, jnp.inf), axis=-1)
+    t_exit = jnp.max(jnp.where(hits, t_maxs, -jnp.inf), axis=-1)
+    any_hit = jnp.any(hits, axis=-1)
+    near = jnp.maximum(near_planes, 0.0)
+    far = jnp.minimum(far_planes, jnp.where(any_hit, t_exit, near_planes))
+    if rays_mask is not None:
+        any_hit = any_hit & rays_mask
+    lower = jnp.maximum(near, t_enter)
+
+    examined_end = None
+    if skip_grid is not None and cone_angle <= 0.0:
+        m_segs = -(-max_lattice_steps // macro_stride)
+        k_keep = max_macro_segments
+        span = macro_stride * step_size
+
+        km = (jnp.arange(m_segs, dtype=dtype) + 0.5) * macro_stride
+        tm = near[:, None] + km * step_size
+        mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
+        my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
+        mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
+        mocc, _ = _query_soa(mx, my, mz, skip_grid, base_aabb)
+        macro_valid = (
+            mocc
+            & (tm + span / 2 > lower[:, None])
+            & (tm - span / 2 < far[:, None])
+            & any_hit[:, None]
+        )
+        mcum = jnp.cumsum(macro_valid.astype(jnp.int32), axis=-1)
+        mslot = jnp.where(macro_valid & (mcum <= k_keep), mcum - 1, k_keep)
+        mrows = jnp.broadcast_to(
+            jnp.arange(n_rays, dtype=jnp.int32)[:, None], mslot.shape
+        )
+        seg_idx = (
+            jnp.full((n_rays, k_keep), m_segs, jnp.int32)
+            .at[mrows, mslot]
+            .set(
+                jnp.broadcast_to(
+                    jnp.arange(m_segs, dtype=jnp.int32), mslot.shape
+                ),
+                mode="drop",
+            )
+        )
+        seg_live = seg_idx < m_segs
+        macro_truncated = mcum[:, -1] > k_keep
+        last_seg = jnp.max(jnp.where(seg_live, seg_idx, 0), axis=-1)
+        macro_end = near + (last_seg + 1).astype(dtype) * span
+        examined_end = jnp.where(
+            macro_truncated, macro_end, jnp.full_like(near, jnp.inf)
+        )
+
+        lat = (
+            seg_idx[:, :, None] * macro_stride
+            + jnp.arange(macro_stride, dtype=jnp.int32)
+        ).reshape(n_rays, k_keep * macro_stride)
+        lat = jnp.minimum(lat, max_lattice_steps)
+        t_mid = _ladder_at(
+            near[:, None], lat, step_size, cone_angle
+        ) + step_size * 0.5
+        live = jnp.repeat(seg_live, macro_stride, axis=-1)
+        lattice_end = near + jnp.float32(max_lattice_steps) * step_size
+        width = k_keep * macro_stride
+    else:
+        width = max_lattice_steps
+        lat = jnp.broadcast_to(
+            jnp.arange(width, dtype=jnp.int32), (n_rays, width)
+        )
+        t0_full = _ladder_at(near[:, None], lat, step_size, cone_angle)
+        t1_full = _ladder_at(near[:, None], lat + 1, step_size, cone_angle)
+        t_mid = (t0_full + t1_full) * 0.5
+        live = None
+        lattice_end = _ladder_at(
+            near, jnp.full((n_rays,), width, jnp.int32), step_size, cone_angle
+        )
+
+    px = rays_o[:, 0:1] + t_mid * rays_d[:, 0:1]
+    py = rays_o[:, 1:2] + t_mid * rays_d[:, 1:2]
+    pz = rays_o[:, 2:3] + t_mid * rays_d[:, 2:3]
+    occ, _ = _query_soa(px, py, pz, binaries, base_aabb)
+    valid = (
+        occ
+        & (t_mid >= lower[:, None])
+        & (t_mid < far[:, None])
+        & any_hit[:, None]
+    )
+    if live is not None:
+        valid = valid & live
+
+    vcum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    counts = jnp.minimum(vcum[:, -1], row_limit)
+    cum = jnp.cumsum(counts) - counts
+    total = cum[-1] + counts[-1]
+
+    # Global slot -> (ray, j) -> lattice column via two binary searches.
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    r = jnp.searchsorted(cum, k, side="right").astype(jnp.int32) - 1
+    r = jnp.clip(r, 0, n_rays - 1)
+    j = k - cum[r]  # j-th valid sample of ray r
+
+    vflat = vcum.reshape(-1)
+    lo = jnp.zeros((capacity,), jnp.int32)
+    hi = jnp.full((capacity,), width, jnp.int32)
+    n_iter = max(1, (width - 1).bit_length())
+    for _ in range(n_iter):
+        mid = (lo + hi) // 2
+        vm = jnp.take(vflat, r * width + mid)
+        go_right = vm < j + 1
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    col = jnp.clip(lo, 0, width - 1)
+
+    p = jnp.take(lat.reshape(-1), r * width + col)
+    near_r = jnp.take(near, r)
+    t_starts = _ladder_at(near_r, p, step_size, cone_angle)
+    t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)
+    kept = k < total
+    t_ends = jnp.where(kept, t_ends, t_starts)
+
+    # Termination planes (same semantics as traverse_grids).
+    hit_cap = vcum[:, -1] >= row_limit
+    # end of the last *kept* sample per ray
+    last_col = jnp.argmax(
+        jnp.where(valid & (vcum <= row_limit), vcum, -1), axis=-1
+    )
+    last_p = jnp.take_along_axis(lat, last_col[:, None], axis=1)[:, 0]
+    last_end = _ladder_at(near, last_p + 1, step_size, cone_angle)
+    examined = jnp.minimum(lattice_end, far)
+    if examined_end is not None:
+        examined = jnp.minimum(examined, examined_end)
+    term = jnp.where(hit_cap, last_end, jnp.maximum(examined, near))
+
+    return CompactSamples(
+        ray_indices=r,
+        t_starts=t_starts,
+        t_ends=t_ends,
+        kept=kept,
+        num_valid=counts,
+        termination_planes=term,
+        far_effective=far,
+    )
+
+
 def traverse_grids(
     rays_o: Array,  # (n_rays, 3)
     rays_d: Array,  # (n_rays, 3)

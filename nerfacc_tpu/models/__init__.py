@@ -8,6 +8,7 @@ from .mlp import (
     TNeRFRadianceField,
     VanillaNeRFRadianceField,
 )
+from .tensorf import KPlanesRadianceField, TensoRFRadianceField
 from .ngp import (
     NGPDensityField,
     NGPRadianceField,
@@ -30,4 +31,6 @@ __all__ = [
     "NGPDensityField",
     "contract_to_unisphere",
     "trunc_exp",
+    "TensoRFRadianceField",
+    "KPlanesRadianceField",
 ]

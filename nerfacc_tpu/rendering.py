@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .estimators.occ_grid import OccGridEstimator, OccGridState
 from .estimators.prop_net import PropNetEstimator
-from .grid import num_ladder_steps, traverse_grids
+from .grid import num_ladder_steps, traverse_and_compact, traverse_grids
 from .pack import compact_indices_from_counts
 from .volrend import (
     render_visibility_from_density,
@@ -94,11 +94,14 @@ def occgrid_render_rays(
         macro_stride = 16
         max_macro = 16
         row_cap = max_samples_per_ray or lattice
-    res = traverse_grids(
+    # 2. Fused traversal + compaction straight into the static field budget.
+    capacity = sample_capacity or (n_rays * row_cap)
+    cs = traverse_and_compact(
         rays_o,
         rays_d,
         state.binaries,
         state.aabbs,
+        capacity,
         near_planes=near_planes,
         far_planes=far_planes,
         step_size=render_step_size,
@@ -109,20 +112,18 @@ def occgrid_render_rays(
         macro_stride=macro_stride,
         max_macro_segments=max_macro,
     )
-
-    # 2. Compact valid samples to the static field budget.
-    capacity = sample_capacity or (n_rays * row_cap)
-    gather_idx, ray_indices, kept = compact_indices_from_counts(
-        res.num_valid, row_cap, capacity
-    )
-    t_starts = res.t_starts.reshape(-1)[gather_idx]
-    t_ends = res.t_ends.reshape(-1)[gather_idx]
-    # Dropped/padding slots become exact no-ops.
-    t_ends = jnp.where(kept, t_ends, t_starts)
+    ray_indices = cs.ray_indices
+    t_starts = cs.t_starts
+    t_ends = cs.t_ends
+    kept = cs.kept
 
     # 3. Optional visibility filtering by querying the cheap density head
     #    (occ_grid.py:180-220 semantics, on the compacted layout).
-    if sigma_fn is not None and (alpha_thre > 0.0 or early_stop_eps > 0.0):
+    #    With alpha_thre == 0 the filter only drops samples whose
+    #    transmittance is already < eps — numerically inert in the density
+    #    path — so the extra field pass is skipped (the reference pays it
+    #    because its packed layout shrinks; ours doesn't).
+    if sigma_fn is not None and alpha_thre > 0.0:
         sigmas = jax.lax.stop_gradient(sigma_fn(t_starts, t_ends, ray_indices))
         sigmas = jnp.where(kept, sigmas, 0.0)
         alpha_thre_t = jnp.minimum(alpha_thre, jnp.mean(state.occs))

@@ -146,3 +146,39 @@ def test_tnerf_time_dependence():
     # warp starts tiny (1e-4 init) so these are close but the net is valid
     assert d0.shape == (8, 1)
     assert np.isfinite(np.asarray(d1)).all()
+
+
+def test_tensorf_field():
+    from nerfacc_tpu.models.tensorf import TensoRFRadianceField
+
+    f = TensoRFRadianceField(aabb=[-1, -1, -1, 1, 1, 1], resolution=32,
+                             mlp_width=32)
+    x = jnp.asarray(np.random.default_rng(0).random((16, 3), dtype=np.float32))
+    d = jnp.ones((16, 3)) * 0.577
+    p = f.init(jax.random.PRNGKey(0), x, d)
+    rgb, sig = f.apply(p, x, d)
+    assert rgb.shape == (16, 3) and sig.shape == (16, 1)
+    assert float(sig.min()) >= 0
+    # outside the aabb -> zero density
+    assert float(f.apply(p, jnp.asarray([[3.0, 0, 0]]),
+                         method="query_density")[0, 0]) == 0.0
+    # grads flow into planes and lines
+    g = jax.grad(lambda pp: f.apply(pp, x, d)[1].sum())(p)
+    assert float(jnp.abs(g["params"]["dp0"]).sum()) > 0
+    assert float(jnp.abs(g["params"]["dl0"]).sum()) > 0
+
+
+def test_kplanes_field_dynamic():
+    from nerfacc_tpu.models.tensorf import KPlanesRadianceField
+
+    f = KPlanesRadianceField(aabb=[-1, -1, -1, 1, 1, 1], resolution=16,
+                             dynamic=True, mlp_width=16)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 3), dtype=np.float32))
+    t = jnp.full((8, 1), 0.3)
+    d = jnp.ones((8, 3)) * 0.577
+    p = f.init(jax.random.PRNGKey(0), x, t, d)
+    rgb, sig = f.apply(p, x, t, d)
+    assert rgb.shape == (8, 3) and sig.shape == (8, 1)
+    # time dependence: different t changes density
+    sig2 = f.apply(p, x, jnp.full((8, 1), 0.9), method="query_density")
+    assert float(jnp.abs(sig - sig2).max()) > 0
