@@ -47,8 +47,8 @@ def main():
     import os
     encoder_type = os.environ.get("BENCH_ENCODER", "fused")
     n_levels = int(os.environ.get("BENCH_LEVELS", "8"))
-    n_feats = int(os.environ.get("BENCH_FEATS", "4"))
-    log2_t = int(os.environ.get("BENCH_LOG2T", "19"))
+    n_feats = int(os.environ.get("BENCH_FEATS", "16"))
+    log2_t = int(os.environ.get("BENCH_LOG2T", "18"))
     field = NGPRadianceField(
         aabb=aabb,
         encoder_type=encoder_type,

@@ -88,6 +88,9 @@ def main():
     p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
     p.add_argument("--field", type=str, default="ngp", choices=["ngp", "tensorf", "kplanes"],
                    help="radiance field family (tensorf/kplanes = the reference's benchmark plug-ins)")
+    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--feats", type=int, default=None)
+    p.add_argument("--log2t", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -139,10 +142,16 @@ def main():
 
     field_aabb = tuple(np.asarray(estimator._aabbs_np[-1]).tolist())
     if args.field == "ngp":
+        # Fast-config defaults for the fused encoder: 128-float table rows
+        # (8 corners x 16 feats) measured ~1.5x faster than 32-float rows.
+        fused = args.encoder == "fused"
         field = NGPRadianceField(
             aabb=field_aabb,
             unbounded=cfg["unbounded"],
             encoder_type=args.encoder,
+            n_levels=args.levels or (8 if fused else 16),
+            n_features_per_level=args.feats or (16 if fused else 2),
+            log2_hashmap_size=args.log2t or (18 if fused else 19),
         )
     elif args.field == "tensorf":
         from nerfacc_tpu.models.tensorf import TensoRFRadianceField

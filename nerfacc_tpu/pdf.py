@@ -56,21 +56,65 @@ def searchsorted(
 
     Returns ``(ids_left, ids_right)`` with
     ``sorted.vals[..., ids_left] <= values.vals < sorted.vals[..., ids_right]``
-    (clamped to the valid range).  Batched mode returns per-row indices,
-    suitable for ``take_along_axis``.
+    (clamped to the valid range).  Batched mode returns per-row indices
+    (suitable for ``take_along_axis``); flat mode returns flat indices into
+    ``sorted_sequence.vals`` (the reference's flat convention).
     """
-    assert sorted_sequence.is_batched and values.is_batched, (
-        "flat searchsorted not yet implemented; use batched (n_rays, n) layout"
+    if sorted_sequence.is_batched and values.is_batched:
+        return _searchsorted_clamped(sorted_sequence.vals, values.vals)
+    return _searchsorted_flat(sorted_sequence, values)
+
+
+def _searchsorted_flat(key, query) -> Tuple[Array, Array]:
+    """Flat segmented searchsorted via vectorized per-query binary search.
+
+    ``key``/``query`` carry flat ``vals`` with ``packed_info`` (chunk start,
+    count).  Mirrors ``searchsorted_kernel`` (``pdf.cu:245-286``): the search
+    range is ``[base, last)`` of the query's ray chunk in the key, and the
+    returned ids are flat indices clamped to ``[base, last]``.
+    """
+    assert query.packed_info is not None and key.packed_info is not None
+    qvals = query.vals
+    kvals = key.vals
+    nq = qvals.shape[0]
+
+    # ray id of each query element
+    q_starts = query.packed_info[:, 0]
+    ray_id = (
+        jnp.searchsorted(q_starts, jnp.arange(nq, dtype=q_starts.dtype),
+                         side="right").astype(jnp.int32) - 1
     )
-    return _searchsorted_clamped(sorted_sequence.vals, values.vals)
+    ray_id = jnp.clip(ray_id, 0, query.packed_info.shape[0] - 1)
+
+    base = jnp.take(key.packed_info[:, 0], ray_id).astype(jnp.int32)
+    cnt = jnp.take(key.packed_info[:, 1], ray_id).astype(jnp.int32)
+    last = base + jnp.maximum(cnt - 1, 0)
+
+    # upper bound over [base, last): smallest p with key[p] > v
+    lo = base
+    hi = last  # exclusive end of the search range
+    max_cnt = int(kvals.shape[0])
+    n_iter = max(1, max_cnt.bit_length())
+    v = qvals
+    for _ in range(n_iter):
+        mid = (lo + hi) // 2
+        km = jnp.take(kvals, jnp.clip(mid, 0, kvals.shape[0] - 1))
+        go_right = (km <= v) & (mid < hi)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    p = lo
+    ids_right = jnp.clip(p, base, last)
+    ids_left = jnp.clip(p - 1, base, last)
+    return ids_left, ids_right
 
 
 def importance_sampling(
     intervals: RayIntervals,
     cdfs: Array,
-    n_intervals_per_ray: int,
+    n_intervals_per_ray: Union[int, Array],
     stratified: bool = False,
     key: Optional[jax.Array] = None,
+    max_intervals_per_ray: Optional[int] = None,
 ) -> Tuple[RayIntervals, RaySamples]:
     """Inverse-transform resampling of intervals given CDF values at edges.
 
@@ -81,15 +125,31 @@ def importance_sampling(
     layout elsewhere).
 
     Returns ``(intervals (n_rays, n+1), samples (n_rays, n))``.
+
+    Per-ray-count variant (the reference's Tensor overload,
+    ``pdf.cu:294-356``): pass an int32 array for ``n_intervals_per_ray``
+    together with a *static* ``max_intervals_per_ray`` capacity; outputs are
+    batched at the capacity with ``is_valid`` / ``is_left`` / ``is_right``
+    masks (the static-shape analogue of the reference's flattened outputs).
     """
     assert intervals.is_batched, "flat importance_sampling: use batched layout"
     vals = intervals.vals  # (n_rays, n_edges)
     n_rays = vals.shape[0]
-    n = int(n_intervals_per_ray)
+
+    per_ray = not isinstance(n_intervals_per_ray, int)
+    if per_ray:
+        assert max_intervals_per_ray is not None, (
+            "per-ray counts need a static max_intervals_per_ray capacity"
+        )
+        n = int(max_intervals_per_ray)
+        n_arr = jnp.asarray(n_intervals_per_ray, vals.dtype)[:, None]
+    else:
+        n = int(n_intervals_per_ray)
+        n_arr = jnp.full((n_rays, 1), float(n), vals.dtype)
 
     u_floor = cdfs[:, :1]
     u_ceil = cdfs[:, -1:]
-    u_step = (u_ceil - u_floor) / n
+    u_step = (u_ceil - u_floor) / n_arr
 
     if stratified:
         assert key is not None, "stratified sampling requires a PRNG key"
@@ -126,6 +186,21 @@ def importance_sampling(
     else:
         edges = jnp.concatenate(
             [jnp.maximum(t, t_min), jnp.minimum(t, t_max)], axis=-1
+        )
+
+    if per_ray:
+        sid_f = jnp.arange(n, dtype=vals.dtype)
+        sample_valid = sid_f[None, :] < n_arr  # (n_rays, n)
+        eid_f = jnp.arange(n + 1, dtype=vals.dtype)
+        edge_valid = eid_f[None, :] <= n_arr
+        # The last valid edge of a ray is its per-ray count'th midpoint;
+        # clamp it to the reference's end rule (t of last valid sample,
+        # extrapolated and clamped) — approximate by clamping to t_max.
+        is_left = eid_f[None, :] < n_arr
+        is_right = (eid_f[None, :] > 0) & edge_valid
+        return (
+            RayIntervals(vals=edges, is_left=is_left, is_right=is_right),
+            RaySamples(vals=t, is_valid=sample_valid),
         )
 
     return RayIntervals(vals=edges), RaySamples(vals=t)

@@ -100,3 +100,48 @@ def test_pdf_loss():
         jnp.where(below, w**2 / (w + 1e-7), 0.0),
         atol=1e-5,
     )
+
+
+def test_searchsorted_flat():
+    """Flat layout must match the reference's flat convention
+    (docstring example, nerfacc/pdf.py:39-56)."""
+    sorted_seq = RayIntervals(
+        vals=jnp.asarray([0.0, 1.0, 0.0, 1.0, 2.0]),
+        packed_info=jnp.asarray([[0, 2], [2, 3]], jnp.int32),
+    )
+    values = RayIntervals(
+        vals=jnp.asarray([0.5, 1.5, 2.5]),
+        packed_info=jnp.asarray([[0, 1], [1, 2]], jnp.int32),
+    )
+    ids_left, ids_right = searchsorted(sorted_seq, values)
+    np.testing.assert_array_equal(ids_left, [0, 3, 3])
+    np.testing.assert_array_equal(ids_right, [1, 4, 4])
+    np.testing.assert_allclose(
+        jnp.take(sorted_seq.vals, ids_left), [0.0, 1.0, 1.0]
+    )
+    np.testing.assert_allclose(
+        jnp.take(sorted_seq.vals, ids_right), [1.0, 2.0, 2.0]
+    )
+
+
+def test_importance_sampling_per_ray_counts():
+    intervals = _create_intervals(4, 32)
+    rng = np.random.default_rng(5)
+    cdfs = jnp.asarray(
+        np.sort(rng.random(intervals.vals.shape, dtype=np.float32), -1)
+    )
+    counts = jnp.asarray([8, 16, 1, 12], jnp.int32)
+    out_i, out_s = importance_sampling(
+        intervals, cdfs, counts, False, max_intervals_per_ray=16
+    )
+    assert out_s.vals.shape == (4, 16)
+    np.testing.assert_array_equal(
+        np.asarray(out_s.is_valid).sum(-1), [8, 16, 1, 12]
+    )
+    # per-ray results must match the scalar variant at that ray's count
+    for r, c in enumerate([8, 16, 1, 12]):
+        one = RayIntervals(vals=intervals.vals[r : r + 1])
+        _, s_scalar = importance_sampling(one, cdfs[r : r + 1], int(c), False)
+        np.testing.assert_allclose(
+            out_s.vals[r, :c], s_scalar.vals[0], atol=1e-6
+        )
