@@ -25,13 +25,17 @@ def main():
     from nerfacc_tpu.models.ngp import NGPRadianceField
     from nerfacc_tpu.rendering import occgrid_render_rays
 
+    import os
     # Lego-like flagship config (train_ngp_nerf_occ.py synthetic block).
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
     n_rays = 8192
     sample_capacity = 1 << 18
     render_step_size = 5e-3
 
-    estimator = OccGridEstimator(roi_aabb=aabb, resolution=128, levels=1)
+    skip_factor = int(os.environ.get("BENCH_SKIPF", "4"))
+    estimator = OccGridEstimator(
+        roi_aabb=aabb, resolution=128, levels=1, skip_factor=skip_factor
+    )
     occ_state = estimator.init()
     # Converged-equilibrium-like occupancy: a spatially coherent shell
     # (an object surface) occupying ~8% of cells — random occupancy would be
@@ -44,7 +48,6 @@ def main():
     print(f"occupancy fraction: {occ.mean():.4f}", flush=True)
     occ_state = estimator.set_binaries(occ_state, jnp.asarray(occ))
 
-    import os
     encoder_type = os.environ.get("BENCH_ENCODER", "fused")
     n_levels = int(os.environ.get("BENCH_LEVELS", "8"))
     n_feats = int(os.environ.get("BENCH_FEATS", "16"))

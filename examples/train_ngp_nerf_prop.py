@@ -100,7 +100,13 @@ def main():
         max_steps = args.max_steps or 20000
 
     key = jax.random.PRNGKey(42)
-    field = NGPRadianceField(aabb=tuple(aabb), unbounded=unbounded, encoder_type=args.encoder)
+    fused = args.encoder == "fused"
+    field = NGPRadianceField(
+        aabb=tuple(aabb), unbounded=unbounded, encoder_type=args.encoder,
+        n_levels=8 if fused else 16,
+        n_features_per_level=16 if fused else 2,
+        log2_hashmap_size=18 if fused else 19,
+    )
     key, sub = jax.random.split(key)
     field_params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
 
