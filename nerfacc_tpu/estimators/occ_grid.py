@@ -72,7 +72,7 @@ class OccGridEstimator(AbstractEstimator):
         roi_aabb: Union[Sequence[float], np.ndarray],
         resolution: Union[int, Sequence[int]] = 128,
         levels: int = 1,
-        skip_factor: int = 4,
+        skip_factor: int = 2,
     ) -> None:
         self.skip_factor = int(skip_factor)
         if isinstance(resolution, int):
