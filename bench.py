@@ -32,7 +32,7 @@ def main():
     sample_capacity = 1 << 18
     render_step_size = 5e-3
 
-    skip_factor = int(os.environ.get("BENCH_SKIPF", "4"))
+    skip_factor = int(os.environ.get("BENCH_SKIPF", "2"))
     estimator = OccGridEstimator(
         roi_aabb=aabb, resolution=128, levels=1, skip_factor=skip_factor
     )
@@ -102,6 +102,7 @@ def main():
                 stratified=True,
                 key=key,
                 sample_capacity=sample_capacity,
+                max_macro_segments=int(os.environ.get("BENCH_MACROK", "16")),
             )
             return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
 

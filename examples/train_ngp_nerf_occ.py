@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import functools
 import pickle
-import time
-from pathlib import Path
 
 from common import (  # noqa: E402
     MIPNERF360_UNBOUNDED_SCENES,

@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .nerf_synthetic import SubjectLoader as _StaticLoader
-from .utils import Rays, generate_rays
 
 
 def _load_renderings(root_fp: str, subject_id: str, split: str):

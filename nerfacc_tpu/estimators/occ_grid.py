@@ -18,9 +18,7 @@ TPU design:
 
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Callable, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -55,6 +55,7 @@ def occgrid_render_rays(
     key: Optional[jax.Array] = None,
     max_samples_per_ray: Optional[int] = None,
     sample_capacity: Optional[int] = None,
+    max_macro_segments: int = 24,
 ) -> Tuple[Array, Array, Array, Array, dict]:
     """Render a ray batch with occupancy-grid skipping (jit-compatible).
 
@@ -87,7 +88,7 @@ def occgrid_render_rays(
         )
         macro_stride = int(2 * estimator.skip_factor * cell0 / render_step_size)
         macro_stride = max(4, min(64, macro_stride))
-        max_macro = min(24, -(-lattice // macro_stride))
+        max_macro = min(max_macro_segments, -(-lattice // macro_stride))
         row_cap = max_samples_per_ray or (max_macro * macro_stride)
         row_cap = min(row_cap, max_macro * macro_stride)
     else:
@@ -222,7 +223,6 @@ def occgrid_render_rays_test(
             t_starts, t_ends, ray_indices
         )
         sigmas = jnp.where(kept, sigmas, 0.0)
-        from .volrend import render_weight_from_alpha  # local alias
         from .volrend import render_weight_from_density
 
         weights, _, alphas = render_weight_from_density(

@@ -6,12 +6,7 @@ import tempfile
 
 import numpy as np
 
-from nerfacc_tpu.datasets.colmap import (
-    Camera,
-    load_sparse,
-    read_cameras_bin,
-    read_images_bin,
-)
+from nerfacc_tpu.datasets.colmap import Camera, load_sparse
 from nerfacc_tpu.datasets.nerf_360_v2 import similarity_from_cameras
 
 

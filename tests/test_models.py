@@ -14,7 +14,6 @@ from nerfacc_tpu.models.hash_soa import (
     HashGridEncoderSoA,
 )
 from nerfacc_tpu.models.mlp import (
-    SinusoidalEncoder,
     TNeRFRadianceField,
     VanillaNeRFRadianceField,
 )
