@@ -156,3 +156,42 @@ def test_propnet_driver():
     assert len(extras["prop_cache"]) == 2
     # all rays hit the opaque ball
     assert float(opac.mean()) > 0.9
+
+
+def test_estimator_api_matches_driver():
+    """The reference-parity path (estimator.sampling + rendering) must agree
+    with the fused perf driver (occgrid_render_rays) on the same scene."""
+    from nerfacc_tpu.volrend import rendering
+
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup()
+    n_rays = rays_o.shape[0]
+    builder = _fn_builder(sigma_at, rgb_at)
+    bkgd = jnp.ones(3)
+    kw = dict(near_plane=0.5, far_plane=4.0, render_step_size=2e-2)
+
+    ray_indices, t_starts, t_ends, is_valid = estimator.sampling(
+        state, rays_o, rays_d, **kw
+    )
+    c_api, o_api, d_api, _ = rendering(
+        t_starts,
+        t_ends,
+        ray_indices=ray_indices,
+        n_rays=n_rays,
+        rgb_sigma_fn=builder(rays_o, rays_d),
+        render_bkgd=bkgd,
+        is_valid=is_valid,
+    )
+
+    c_drv, o_drv, d_drv, n_samp, _ = occgrid_render_rays(
+        builder(rays_o, rays_d),
+        None,
+        estimator,
+        state,
+        rays_o,
+        rays_d,
+        render_bkgd=bkgd,
+        sample_capacity=n_rays * 256,
+        **kw,
+    )
+    np.testing.assert_allclose(c_api, c_drv, atol=2e-3)
+    np.testing.assert_allclose(o_api, o_drv, atol=2e-3)
