@@ -216,3 +216,36 @@ def test_skip_grid_traversal_matches_dense():
             jnp.where(skipr.is_valid, b, 0.0),
             atol=1e-5,
         )
+
+
+def test_traverse_cone_angle_geometric_steps():
+    """cone_angle > 0 uses the geometric ladder (grid.cu:23-28 semantics):
+    step sizes grow ~linearly with t, samples stay in occupied cells."""
+    rng = np.random.default_rng(7)
+    n_rays = 8
+    rays_o, rays_d = _rand_rays(n_rays, seed=7, origin_scale=3.0)
+
+    base_aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    aabbs = jnp.stack([_enlarge_aabb(base_aabb, 2**i) for i in range(4)])
+    binaries = jnp.ones((4, 16, 16, 16), bool)
+
+    cone = 0.01
+    res = traverse_grids(
+        rays_o, rays_d, binaries, aabbs,
+        step_size=0.01, cone_angle=cone, max_lattice_steps=512,
+        traverse_steps_limit=512,
+    )
+    assert int(res.is_valid.sum()) > 0
+    dt = res.t_ends - res.t_starts
+    valid = np.asarray(res.is_valid)
+    dtv = np.asarray(dt)
+    tsv = np.asarray(res.t_starts)
+    # steps grow with t: dt ~= clamp(t * cone, step, inf)
+    sel = valid & (tsv * cone > 0.012)
+    np.testing.assert_allclose(
+        dtv[sel], (tsv * cone)[sel], rtol=0.05
+    )
+    # near region: constant min step
+    sel0 = valid & (tsv * cone < 0.008) & (tsv > 0)
+    if sel0.any():
+        np.testing.assert_allclose(dtv[sel0], 0.01, rtol=1e-4)
