@@ -228,3 +228,50 @@ def test_prefix_trans_resumption():
     np.testing.assert_allclose(
         jnp.concatenate([w1, w2], axis=-1), w_full, atol=1e-5
     )
+
+
+def test_rendering_alpha_path():
+    """rgb_alpha_fn path (volrend.py:115-137): weights from exclusive_prod,
+    must equal the density path when alpha = 1-exp(-sigma*dt)."""
+    rng = np.random.default_rng(6)
+    t_starts = jnp.asarray(rng.random(5, dtype=np.float32))
+    t_ends = t_starts + 0.5
+    sigmas = jnp.asarray(rng.random(5, dtype=np.float32) * 3)
+    alphas = 1.0 - jnp.exp(-sigmas * (t_ends - t_starts))
+    rgbs = jnp.asarray(rng.random((5, 3), dtype=np.float32))
+
+    def rgb_sigma_fn(ts, te, ri):
+        return rgbs, sigmas
+
+    def rgb_alpha_fn(ts, te, ri):
+        return rgbs, alphas
+
+    out_d = rendering(
+        t_starts, t_ends, ray_indices=RAY_INDICES, n_rays=3,
+        rgb_sigma_fn=rgb_sigma_fn, render_bkgd=jnp.ones(3),
+    )
+    out_a = rendering(
+        t_starts, t_ends, ray_indices=RAY_INDICES, n_rays=3,
+        rgb_alpha_fn=rgb_alpha_fn, render_bkgd=jnp.ones(3),
+    )
+    for a, b in zip(out_d[:3], out_a[:3]):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    assert "sigmas" in out_d[3] and "alphas" in out_a[3]
+
+
+def test_rendering_alpha_path_masks_invalid():
+    """is_valid must zero alphas in the alpha path (invalid slots can carry
+    arbitrary user alphas, unlike the density path's dt=0 no-ops)."""
+    t_starts = jnp.asarray([0.1, 0.2, 0.3, 0.4])
+    t_ends = t_starts + 0.1
+    ray_indices = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    is_valid = jnp.asarray([True, False, True, False])
+
+    def rgb_alpha_fn(ts, te, ri):
+        return jnp.ones((4, 3)) * 0.5, jnp.full((4,), 0.9)
+
+    _, opac, _, _ = rendering(
+        t_starts, t_ends, ray_indices=ray_indices, n_rays=2,
+        rgb_alpha_fn=rgb_alpha_fn, is_valid=is_valid,
+    )
+    np.testing.assert_allclose(opac[:, 0], [0.9, 0.9], atol=1e-6)
