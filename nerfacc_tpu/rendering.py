@@ -56,6 +56,7 @@ def occgrid_render_rays(
     max_samples_per_ray: Optional[int] = None,
     sample_capacity: Optional[int] = None,
     max_macro_segments: int = 24,
+    refilter_capacity: Optional[int] = None,
 ) -> Tuple[Array, Array, Array, Array, dict]:
     """Render a ray batch with occupancy-grid skipping (jit-compatible).
 
@@ -124,7 +125,7 @@ def occgrid_render_rays(
     #    transmittance is already < eps — numerically inert in the density
     #    path — so the extra field pass is skipped (the reference pays it
     #    because its packed layout shrinks; ours doesn't).
-    if sigma_fn is not None and alpha_thre > 0.0:
+    if sigma_fn is not None and (alpha_thre > 0.0 or refilter_capacity):
         sigmas = jax.lax.stop_gradient(sigma_fn(t_starts, t_ends, ray_indices))
         sigmas = jnp.where(kept, sigmas, 0.0)
         alpha_thre_t = jnp.minimum(alpha_thre, jnp.mean(state.occs))
@@ -138,6 +139,35 @@ def occgrid_render_rays(
         )
         kept = kept & masks
         t_ends = jnp.where(kept, t_ends, t_starts)
+
+        if refilter_capacity:
+            # Second-phase compaction: shrink the differentiable pass to the
+            # surviving samples (the reference's packed-shrink economics,
+            # occ_grid.py:214-220, under static shapes).  Survivor rank
+            # within each ray comes from a flat segmented cumsum; one scatter
+            # of source positions inverts the map.
+            from .scan import flags_from_ray_indices, seg_inclusive_sum
+
+            flags = flags_from_ray_indices(ray_indices)
+            rank = seg_inclusive_sum(kept.astype(jnp.int32), flags)
+            counts2 = jax.ops.segment_sum(
+                kept.astype(jnp.int32), ray_indices, num_segments=n_rays
+            )
+            cum2 = jnp.cumsum(counts2) - counts2
+            total2 = cum2[-1] + counts2[-1]
+            slot2 = jnp.where(
+                kept, jnp.take(cum2, ray_indices) + rank - 1, refilter_capacity
+            )
+            src = (
+                jnp.zeros((refilter_capacity,), jnp.int32)
+                .at[slot2]
+                .set(jnp.arange(kept.shape[0], dtype=jnp.int32), mode="drop")
+            )
+            ray_indices = jnp.take(ray_indices, src)
+            t_starts = jnp.take(t_starts, src)
+            t_ends = jnp.take(t_ends, src)
+            kept = jnp.arange(refilter_capacity, dtype=jnp.int32) < total2
+            t_ends = jnp.where(kept, t_ends, t_starts)
 
     # 4. Differentiable rendering on the compacted flat layout.
     colors, opacities, depths, extras = rendering(

@@ -195,3 +195,33 @@ def test_estimator_api_matches_driver():
     )
     np.testing.assert_allclose(c_api, c_drv, atol=2e-3)
     np.testing.assert_allclose(o_api, o_drv, atol=2e-3)
+
+
+def test_refilter_capacity_matches_mask_path():
+    """Two-phase visibility refiltering (shrunk differentiable pass) must
+    produce the same image as the in-place mask path."""
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup()
+    builder = _fn_builder(sigma_at, rgb_at)
+
+    def sigma_fn(ts, te, ri):
+        x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+        return sigma_at(x)
+
+    bkgd = jnp.ones(3)
+    kw = dict(
+        near_plane=0.5, far_plane=4.0, render_step_size=2e-2,
+        alpha_thre=1e-3, early_stop_eps=1e-4,
+        sample_capacity=64 * 256,
+    )
+    c1, o1, d1, n1, _ = occgrid_render_rays(
+        builder(rays_o, rays_d), sigma_fn, estimator, state,
+        rays_o, rays_d, render_bkgd=bkgd, **kw,
+    )
+    c2, o2, d2, n2, _ = occgrid_render_rays(
+        builder(rays_o, rays_d), sigma_fn, estimator, state,
+        rays_o, rays_d, render_bkgd=bkgd,
+        refilter_capacity=64 * 64, **kw,
+    )
+    assert int(n2) <= int(n1)
+    np.testing.assert_allclose(c1, c2, atol=2e-3)
+    np.testing.assert_allclose(o1, o2, atol=2e-3)
