@@ -345,12 +345,13 @@ class OccGridEstimator(AbstractEstimator):
         width: int,
         height: int,
         near_plane: float = 0.0,
+        chunk: int = 32**3,
     ) -> OccGridState:
         """Mark cells outside every camera frustum with occupancy -1.
 
-        Parity: ``occ_grid.py:262-332``.  Fully vectorized over (cells, cams);
-        XLA tiles the (N_cams, 3, cells) matmuls onto the MXU, so no host-side
-        chunking is needed.
+        Parity: ``occ_grid.py:262-332``.  Vectorized over (cells, cams) in
+        host-side chunks of ``chunk`` cells — at res 128 with many cameras
+        the unchunked (N_cams, 3, cells) intermediates would exceed HBM.
         """
         K = jnp.asarray(K, jnp.float32)
         c2w = jnp.asarray(c2w, jnp.float32)
@@ -367,13 +368,13 @@ class OccGridEstimator(AbstractEstimator):
         )
         occs = state.occs
 
-        for lvl in range(self.levels):
-            x = grid_coords / res_minus1  # (cells, 3) in [0, 1]
-            aabb = state.aabbs[lvl]
-            xyzs_w = (aabb[:3] + x * (aabb[3:] - aabb[:3])).T  # (3, cells)
-            xyzs_c = w2c_R @ xyzs_w + w2c_T  # (N, 3, cells)
-            uvd = K @ xyzs_c  # (N, 3, cells)
-            uv = uvd[:, :2] / uvd[:, 2:]  # (N, 2, cells)
+        @jax.jit
+        def _chunk_mask(coords, aabb):
+            x = coords / res_minus1  # (chunk, 3) in [0, 1]
+            xyzs_w = (aabb[:3] + x * (aabb[3:] - aabb[:3])).T  # (3, chunk)
+            xyzs_c = w2c_R @ xyzs_w + w2c_T  # (N, 3, chunk)
+            uvd = K @ xyzs_c  # (N, 3, chunk)
+            uv = uvd[:, :2] / uvd[:, 2:]  # (N, 2, chunk)
             in_image = (
                 (uvd[:, 2] >= 0)
                 & (uv[:, 0] >= 0)
@@ -381,11 +382,22 @@ class OccGridEstimator(AbstractEstimator):
                 & (uv[:, 1] >= 0)
                 & (uv[:, 1] < height)
             )
-            covered = (uvd[:, 2] >= near_plane) & in_image  # (N, cells)
+            covered = (uvd[:, 2] >= near_plane) & in_image  # (N, chunk)
             count = covered.sum(axis=0) / n_cams
             too_near = ((uvd[:, 2] < near_plane) & in_image).any(axis=0)
-            valid_mask = (count > 0) & (~too_near)
+            return (count > 0) & (~too_near)
 
+        n_chunks = -(-self.cells_per_lvl // chunk)
+        pad = n_chunks * chunk - self.cells_per_lvl
+        coords_pad = jnp.pad(grid_coords, ((0, pad), (0, 0)))
+        for lvl in range(self.levels):
+            masks = [
+                _chunk_mask(
+                    coords_pad[i * chunk : (i + 1) * chunk], state.aabbs[lvl]
+                )
+                for i in range(n_chunks)
+            ]
+            valid_mask = jnp.concatenate(masks)[: self.cells_per_lvl]
             base = lvl * self.cells_per_lvl
             cell_ids = base + jnp.arange(self.cells_per_lvl)
             occs = occs.at[cell_ids].set(jnp.where(valid_mask, 0.0, -1.0))
