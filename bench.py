@@ -1,22 +1,32 @@
-"""Benchmark: NGP-occ fused train step throughput (fwd+bwd) on one chip.
+"""Benchmark: NGP-occ train throughput (fwd+bwd) + time-to-PSNR on one chip.
 
-Prints ONE JSON line with samples/s against the reference baseline.
+Prints ONE JSON line.  Primary metric: samples/s through the fused train
+step *including the amortized occupancy-update overhead* (the reference's
+269 s wall-clock includes its `update_every_n_steps` — bench.py:5-8 of the
+baseline derivation).  Secondary fields: wall-clock to reach the target
+eval PSNR on the procedural scene (the BASELINE.md time-to-quality
+north-star, measured on a procedural proxy because no dataset ships here).
 
 Baseline derivation: nerfacc NGP-occ trains NeRF-Synthetic Lego for 20k
 steps at a dynamic batch targeting 2^18 samples/step in 269 s on a TITAN RTX
 (BASELINE.md) => ~19.5 M samples/s forward+backward including the occupancy
 update overhead.  ``vs_baseline`` = ours / 19.5e6.
+
+Env knobs: BENCH_ENCODER/BENCH_LEVELS/BENCH_FEATS/BENCH_LOG2T/BENCH_MACROK/
+BENCH_SKIPF (field + traversal config), BENCH_QUALITY=0 to skip the
+time-to-PSNR phase, BENCH_PSNR_TARGET (default 30).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def throughput_phase():
     import jax
     import jax.numpy as jnp
     import optax
@@ -25,7 +35,6 @@ def main():
     from nerfacc_tpu.models.ngp import NGPRadianceField
     from nerfacc_tpu.rendering import occgrid_render_rays
 
-    import os
     # Lego-like flagship config (train_ngp_nerf_occ.py synthetic block).
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
     n_rays = 8192
@@ -113,11 +122,26 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, n_samp
 
+    # Occupancy update (post-warmup sampling strategy), timed separately and
+    # amortized at the reference's every-16-steps cadence.  The *result* is
+    # discarded so the controlled shell workload stays fixed for sampling.
+    @jax.jit
+    def occ_update(occ_state, params, key):
+        occ_eval_fn = (
+            lambda x: field.apply(params, x, method="query_density")
+            * render_step_size
+        )
+        return estimator._update(
+            occ_state, step=10**9, occ_eval_fn=occ_eval_fn, key=key
+        )
+
     # Warmup / compile.
     for i in range(3):
         key, sub = jax.random.split(key)
         params, opt_state, loss, n_samp = train_step(params, opt_state, sub)
     jax.block_until_ready(params)
+    _ = occ_update(occ_state, params, key)
+    jax.block_until_ready(_)
 
     n_iters = 30
     t0 = time.perf_counter()
@@ -127,21 +151,201 @@ def main():
         params, opt_state, loss, n_samp = train_step(params, opt_state, sub)
         total_samples += int(n_samp)
     jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
+    step_time = time.perf_counter() - t0
 
-    samples_per_sec = total_samples / dt
-    baseline = 19.5e6  # reference: 2^18 samples/step * 20k steps / 269 s
-    print(
-        json.dumps(
-            {
-                "metric": "ngp_occ_train_samples_per_sec",
-                "encoder": encoder_type,
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s (fwd+bwd)",
-                "vs_baseline": round(samples_per_sec / baseline, 3),
-            }
-        )
+    n_updates = 4
+    t0 = time.perf_counter()
+    for i in range(n_updates):
+        key, sub = jax.random.split(key)
+        jax.block_until_ready(occ_update(occ_state, params, sub))
+    update_time = (time.perf_counter() - t0) / n_updates
+
+    # Amortized: one update per 16 steps (occ_grid.py:223 cadence).
+    total_time = step_time + (n_iters / 16.0) * update_time
+    samples_per_sec = total_samples / total_time
+    return {
+        "encoder": encoder_type,
+        "samples_per_sec": samples_per_sec,
+        "step_ms": round(step_time / n_iters * 1000, 2),
+        "occ_update_ms": round(update_time * 1000, 2),
+    }
+
+
+def quality_phase(psnr_target: float):
+    """Train the procedural NGP-occ workload until eval PSNR hits the target;
+    report wall-clock (post-compile) — the time-to-quality north star."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerfacc_tpu.datasets.procedural import make_loaders
+    from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+    from nerfacc_tpu.models.ngp import NGPRadianceField
+    from nerfacc_tpu.rendering import occgrid_render_rays
+
+    aabb = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    num_rays = 4096
+    render_step_size = 5e-3
+    sample_capacity = num_rays * 32
+    max_steps = 3000
+    eval_every = 100
+
+    train_ds, test_ds = make_loaders(
+        num_rays=num_rays, width=160, height=160, n_train=36, n_test=1
     )
+    near, far = train_ds.near, train_ds.far
+    estimator = OccGridEstimator(roi_aabb=aabb, resolution=64, levels=1)
+    occ_state = estimator.init()
+    field = NGPRadianceField(
+        aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
+        encoder_type=os.environ.get("BENCH_ENCODER", "fused"),
+        n_levels=8,
+        n_features_per_level=16,
+        log2_hashmap_size=18,
+    )
+    key = jax.random.PRNGKey(42)
+    key, sub = jax.random.split(key)
+    params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    tx = optax.adam(1e-2, eps=1e-15)
+    opt_state = tx.init(params)
+
+    def make_fns(params, rays_o, rays_d):
+        def sigma_fn(ts, te, ri):
+            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            return field.apply(params, x, method="query_density")[..., 0]
+
+        def rgb_sigma_fn(ts, te, ri):
+            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            rgb, sigma = field.apply(params, x, rays_d[ri])
+            return rgb, sigma[..., 0]
+
+        return sigma_fn, rgb_sigma_fn
+
+    kwargs = dict(
+        near_plane=near,
+        far_plane=far,
+        render_step_size=render_step_size,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key):
+        def loss_fn(p):
+            _, rgb_sigma_fn = make_fns(p, rays_o, rays_d)
+            colors, _, _, n_samp, _ = occgrid_render_rays(
+                rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
+                render_bkgd=bkgd, stratified=True, key=key,
+                sample_capacity=sample_capacity, **kwargs,
+            )
+            return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
+
+        (loss, n_samp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, n_samp
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("warmup",))
+    def occ_update(occ_state, params, key, warmup: bool):
+        occ_eval_fn = (
+            lambda x: field.apply(params, x, method="query_density")
+            * render_step_size
+        )
+        return estimator._update(
+            occ_state,
+            step=0 if warmup else 10**9,
+            occ_eval_fn=occ_eval_fn,
+            key=key,
+            warmup_steps=1,
+        )
+
+    @jax.jit
+    def eval_render(params, occ_state, rays_o, rays_d):
+        _, rgb_sigma_fn = make_fns(params, rays_o, rays_d)
+        colors, _, _, _, _ = occgrid_render_rays(
+            rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
+            render_bkgd=jnp.ones(3), sample_capacity=4096 * 64, **kwargs,
+        )
+        return colors
+
+    test_batch = test_ds[0]
+    test_rays = test_batch["rays"]
+    flat_o = test_rays.origins.reshape(-1, 3)
+    flat_d = test_rays.viewdirs.reshape(-1, 3)
+    target = np.asarray(test_batch["pixels"]).reshape(-1, 3)
+
+    def eval_psnr(params, occ_state):
+        outs = []
+        for i in range(0, flat_o.shape[0], 4096):
+            outs.append(
+                np.asarray(
+                    eval_render(
+                        params, occ_state, flat_o[i : i + 4096], flat_d[i : i + 4096]
+                    )
+                )
+            )
+        img = np.concatenate(outs)
+        mse = float(np.mean((img - target) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-10))
+
+    # Compile everything once before the clock starts.
+    occ_state = occ_update(occ_state, params, key, warmup=True)
+    batch = train_ds[0]
+    p0, o0, _, _ = train_step(
+        params, opt_state, occ_state, batch["rays"].origins,
+        batch["rays"].viewdirs, batch["pixels"], batch["color_bkgd"],
+        jax.random.PRNGKey(0),
+    )
+    jax.block_until_ready(p0)
+    _ = eval_psnr(p0, occ_state)
+
+    t0 = time.perf_counter()
+    reached = None
+    psnr_val = 0.0
+    for step in range(max_steps + 1):
+        if step % 16 == 0:
+            key, sub = jax.random.split(key)
+            occ_state = occ_update(occ_state, params, sub, warmup=step < 256)
+        batch = train_ds[step % len(train_ds)]
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, n_samp = train_step(
+            params, opt_state, occ_state, batch["rays"].origins,
+            batch["rays"].viewdirs, batch["pixels"], batch["color_bkgd"], sub,
+        )
+        if step > 0 and step % eval_every == 0:
+            psnr_val = eval_psnr(params, occ_state)
+            elapsed = time.perf_counter() - t0
+            print(f"  quality: step={step} psnr={psnr_val:.2f} t={elapsed:.1f}s",
+                  flush=True)
+            if psnr_val >= psnr_target:
+                reached = elapsed
+                break
+    return {
+        "psnr_target": psnr_target,
+        "time_to_psnr_s": round(reached, 1) if reached is not None else None,
+        "final_psnr": round(psnr_val, 2),
+    }
+
+
+def main():
+    out = throughput_phase()
+    baseline = 19.5e6  # reference: 2^18 samples/step * 20k steps / 269 s
+    record = {
+        "metric": "ngp_occ_train_samples_per_sec",
+        "encoder": out["encoder"],
+        "value": round(out["samples_per_sec"], 1),
+        "unit": "samples/s (fwd+bwd, incl. occ-update overhead)",
+        "vs_baseline": round(out["samples_per_sec"] / baseline, 3),
+        "step_ms": out["step_ms"],
+        "occ_update_ms": out["occ_update_ms"],
+    }
+    if os.environ.get("BENCH_QUALITY", "1") != "0":
+        try:
+            record.update(
+                quality_phase(float(os.environ.get("BENCH_PSNR_TARGET", "30")))
+            )
+        except Exception as e:  # keep the primary metric even if phase 2 dies
+            record["quality_error"] = repr(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

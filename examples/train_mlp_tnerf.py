@@ -38,6 +38,12 @@ def main():
     p.add_argument("--num_rays", type=int, default=1024)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--field", type=str, default="tnerf",
+        choices=["tnerf", "ndr", "tineuvox"],
+        help="dynamic field family (tineuvox = the reference's benchmark "
+        "plug-in, re-implemented natively)",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -74,7 +80,19 @@ def main():
         near, far = 0.0, 1e10
 
     key = jax.random.PRNGKey(42)
-    field = TNeRFRadianceField()
+    if args.field == "tineuvox":
+        from nerfacc_tpu.models.tineuvox import TiNeuVoxRadianceField
+
+        field = TiNeuVoxRadianceField(
+            aabb=tuple(np.asarray(aabb, np.float32).tolist()),
+            resolution=32 if args.smoke else 96,
+        )
+    elif args.field == "ndr":
+        from nerfacc_tpu.models.mlp import NDRTNeRFRadianceField
+
+        field = NDRTNeRFRadianceField()
+    else:
+        field = TNeRFRadianceField()
     key, sub = jax.random.split(key)
     params = field.init(
         sub, jnp.zeros((8, 3)), jnp.zeros((8, 1)), jnp.zeros((8, 3))

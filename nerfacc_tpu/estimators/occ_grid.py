@@ -29,7 +29,7 @@ from ..grid import (
     _enlarge_aabb,
     build_skip_grid,
     num_ladder_steps,
-    traverse_grids,
+    traverse_and_compact,
 )
 from ..volrend import (
     render_visibility_from_alpha,
@@ -72,11 +72,16 @@ class OccGridEstimator(AbstractEstimator):
         levels: int = 1,
         skip_factor: int = 2,
     ) -> None:
-        self.skip_factor = int(skip_factor)
         if isinstance(resolution, int):
             resolution = [resolution] * self.DIM
         resolution = tuple(int(r) for r in resolution)
         assert len(resolution) == self.DIM
+        # Largest factor <= requested that divides every axis (1 always
+        # does) — build_skip_grid requires exact divisibility.
+        skip_factor = max(1, int(skip_factor))
+        while any(r % skip_factor for r in resolution):
+            skip_factor -= 1
+        self.skip_factor = skip_factor
         roi_aabb = np.asarray(roi_aabb, dtype=np.float32)
         assert roi_aabb.shape[0] == self.DIM * 2
 
@@ -125,6 +130,45 @@ class OccGridEstimator(AbstractEstimator):
         )
 
     # ------------------------------------------------------------------
+    def plan_traversal(
+        self,
+        render_step_size: float,
+        cone_angle: float = 0.0,
+        near_plane: float = 0.0,
+        max_samples_per_ray: Optional[int] = None,
+        max_macro_segments: int = 24,
+        has_skip_grid: bool = True,
+    ):
+        """Static traversal-shape plan shared by every sampling entry point.
+
+        Returns ``(lattice, use_skip, macro_stride, max_macro, row_cap)``.
+        ``use_skip`` is decided host-side (macro skipping needs a uniform
+        ladder, i.e. ``cone_angle <= 0``); ``macro_stride`` keeps each macro
+        span under 2 skip-cells so the dilation-1 midpoint query stays
+        conservative (see :func:`~nerfacc_tpu.grid.build_skip_grid`).
+        """
+        lattice = num_ladder_steps(
+            self.max_t_range, render_step_size, cone_angle, near=near_plane
+        )
+        use_skip = has_skip_grid and cone_angle <= 0.0
+        if use_skip:
+            cell0 = float(
+                (self.roi_aabb[3] - self.roi_aabb[0]) / self.resolution[0]
+            )
+            macro_stride = int(
+                2 * self.skip_factor * cell0 / render_step_size
+            )
+            macro_stride = max(4, min(64, macro_stride))
+            max_macro = min(max_macro_segments, -(-lattice // macro_stride))
+            row_cap = max_samples_per_ray or (max_macro * macro_stride)
+            row_cap = min(row_cap, max_macro * macro_stride)
+        else:
+            macro_stride = 16
+            max_macro = 16
+            row_cap = max_samples_per_ray or lattice
+        return lattice, use_skip, macro_stride, max_macro, row_cap
+
+    # ------------------------------------------------------------------
     def sampling(
         self,
         state: OccGridState,
@@ -143,14 +187,20 @@ class OccGridEstimator(AbstractEstimator):
         cone_angle: float = 0.0,
         key: Optional[jax.Array] = None,
         max_samples: Optional[int] = None,
+        sample_capacity: Optional[int] = None,
     ) -> Tuple[Array, Array, Array, Array]:
         """Sample along rays with empty-space skipping.
 
         Parity: ``occ_grid.py:85-221``.  Returns flat static-capacity arrays
-        ``(ray_indices, t_starts, t_ends, is_valid)`` where the flat length is
-        ``n_rays * capacity`` (row-major).  The per-ray capacity defaults to a
-        lattice covering the scene extent; pass ``max_samples`` to bound it
-        (== the reference's ``traverse_steps_limit``).
+        ``(ray_indices, t_starts, t_ends, is_valid)``, globally compacted and
+        sorted by ray.  The flat length is ``sample_capacity`` if given, else
+        ``n_rays * row_cap`` where ``row_cap`` is the per-ray sample budget
+        (``max_samples`` == the reference's ``traverse_steps_limit``).
+
+        This IS the fast path: macro-skip traversal fused with compaction
+        (:func:`~nerfacc_tpu.grid.traverse_and_compact`) — identical to what
+        the train driver :func:`~nerfacc_tpu.rendering.occgrid_render_rays`
+        runs, so composing via this public API costs the same as the driver.
 
         Not differentiable (wrap calls in ``stop_gradient`` contexts).
         """
@@ -168,31 +218,38 @@ class OccGridEstimator(AbstractEstimator):
                 * render_step_size
             )
 
-        lattice = num_ladder_steps(
-            self.max_t_range, render_step_size, cone_angle, near=near_plane
+        lattice, use_skip, macro_stride, max_macro, row_cap = (
+            self.plan_traversal(
+                render_step_size,
+                cone_angle,
+                near_plane,
+                max_samples_per_ray=max_samples,
+                has_skip_grid=state.skip_grid is not None,
+            )
         )
-        capacity = max_samples or lattice
+        capacity = sample_capacity or (n_rays * row_cap)
 
-        res = traverse_grids(
+        cs = traverse_and_compact(
             rays_o,
             rays_d,
             state.binaries,
             state.aabbs,
+            capacity,
             near_planes=near_planes,
             far_planes=far_planes,
             step_size=render_step_size,
             cone_angle=cone_angle,
-            traverse_steps_limit=capacity,
+            traverse_steps_limit=row_cap,
             max_lattice_steps=lattice,
             base_aabb=state.aabbs[0],
+            skip_grid=state.skip_grid if use_skip else None,
+            macro_stride=macro_stride,
+            max_macro_segments=max_macro,
         )
-
-        t_starts = res.t_starts.reshape(-1)
-        t_ends = res.t_ends.reshape(-1)
-        is_valid = res.is_valid.reshape(-1)
-        ray_indices = jnp.repeat(
-            jnp.arange(n_rays, dtype=jnp.int32), capacity
-        )
+        t_starts = cs.t_starts
+        t_ends = cs.t_ends
+        is_valid = cs.kept
+        ray_indices = cs.ray_indices
 
         # Visibility filtering by querying the user's field (occ_grid.py:180-220).
         if (alpha_thre > 0.0 or early_stop_eps > 0.0) and (

@@ -210,6 +210,13 @@ def build_skip_grid(
     """
     m, rx, ry, rz = binaries.shape
     f = factor
+    # The coarse grid shares the fine grid's aabb, so `factor` must divide
+    # the resolution exactly — otherwise the cell mapping in `_query_soa`
+    # would be misaligned.  OccGridEstimator picks a valid divisor itself.
+    assert rx % f == 0 and ry % f == 0 and rz % f == 0, (
+        f"build_skip_grid: factor {f} must divide resolution "
+        f"({rx},{ry},{rz}); pick a common divisor (1 always works)"
+    )
     coarse = binaries.reshape(m, rx // f, f, ry // f, f, rz // f, f).any(
         axis=(2, 4, 6)
     )

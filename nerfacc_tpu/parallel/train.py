@@ -30,6 +30,16 @@ from ..rendering import occgrid_render_rays
 Array = jnp.ndarray
 
 
+def _linear_index(axis):
+    """Flat device index over one axis name or a tuple of them."""
+    if isinstance(axis, str):
+        return jax.lax.axis_index(axis)
+    idx = jax.lax.axis_index(axis[0])
+    for a in axis[1:]:
+        idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+    return idx
+
+
 def make_parallel_train_step(
     field,
     estimator: OccGridEstimator,
@@ -42,7 +52,7 @@ def make_parallel_train_step(
     cone_angle: float = 0.0,
     alpha_thre: float = 0.0,
     sample_capacity_per_shard: int = 1 << 15,
-    axis: str = "data",
+    axis=None,
 ) -> Callable:
     """Build a jitted data-parallel train step.
 
@@ -51,7 +61,14 @@ def make_parallel_train_step(
     -> (params, opt_state, loss, n_samples)``
     with rays/pixels sharded on their leading axis and everything else
     replicated.
+
+    ``axis`` defaults to *all* mesh axes — on a 2-D ``(hosts, chips)``
+    hybrid mesh (:func:`~nerfacc_tpu.parallel.multihost.make_hybrid_mesh`)
+    rays shard over both and the gradient reduction becomes hierarchical
+    (ICI within host, one DCN hop across hosts).
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
 
     def make_fns(params, rays_o, rays_d):
         def sigma_fn(t_starts, t_ends, ray_indices):
@@ -75,7 +92,7 @@ def make_parallel_train_step(
         out_specs=(P(), P()),
     )
     def shard_loss(params, occ_state, rays_o, rays_d, pixels, bkgd, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        key = jax.random.fold_in(key, _linear_index(axis))
         sigma_fn, rgb_sigma_fn = make_fns(params, rays_o, rays_d)
         colors, _, _, n_samp, _ = occgrid_render_rays(
             rgb_sigma_fn,
@@ -121,7 +138,7 @@ def make_parallel_occ_update(
     mesh: Mesh,
     *,
     render_step_size: float,
-    axis: str = "data",
+    axis=None,
     occ_thre: float = 1e-2,
     ema_decay: float = 0.95,
 ):
@@ -130,7 +147,10 @@ def make_parallel_occ_update(
     Each chip probes its own cell sample (different fold_in key) and the
     EMA-updated grids merge with ``pmax`` — more probe coverage per wall
     clock than the reference's single-GPU update, identical semantics.
+    ``axis`` defaults to all mesh axes (works on hybrid 2-D meshes).
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
 
     @functools.partial(
         jax.shard_map,
@@ -140,7 +160,7 @@ def make_parallel_occ_update(
         check_vma=False,
     )
     def _sharded_update(occ_state, params, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        key = jax.random.fold_in(key, _linear_index(axis))
         occ_eval_fn = (
             lambda x: field.apply(params, x, method="query_density")
             * render_step_size

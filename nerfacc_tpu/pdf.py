@@ -193,9 +193,22 @@ def importance_sampling(
         sample_valid = sid_f[None, :] < n_arr  # (n_rays, n)
         eid_f = jnp.arange(n + 1, dtype=vals.dtype)
         edge_valid = eid_f[None, :] <= n_arr
-        # The last valid edge of a ray is its per-ray count'th midpoint;
-        # clamp it to the reference's end rule (t of last valid sample,
-        # extrapolated and clamped) — approximate by clamping to t_max.
+        # Exact last-edge rule (``compute_intervels_kernel``,
+        # ``pdf.cu:230-238``): the count'th edge extrapolates the last valid
+        # sample by half its trailing gap, clamped to t_max — NOT the
+        # midpoint against the (invalid) capacity-region sample.
+        c = jnp.clip(n_arr.astype(jnp.int32), 1, n)  # (n_rays, 1)
+        t_last = jnp.take_along_axis(t, c - 1, axis=-1)
+        t_prev = jnp.take_along_axis(t, jnp.maximum(c - 2, 0), axis=-1)
+        # c == 1 divergence (documented): the reference kernel never writes
+        # this edge (OOB read at pdf.cu:211); we use the scalar-n==1 rule.
+        last_val = jnp.where(
+            c >= 2,
+            jnp.minimum(t_last + (t_last - t_prev) * 0.5, t_max),
+            jnp.minimum(t_last, t_max),
+        )
+        rows = jnp.arange(n_rays, dtype=jnp.int32)[:, None]
+        edges = edges.at[rows, c].set(last_val)
         is_left = eid_f[None, :] < n_arr
         is_right = (eid_f[None, :] > 0) & edge_valid
         return (

@@ -76,26 +76,16 @@ def occgrid_render_rays(
         near_planes = near_planes + (
             jax.random.uniform(sub, (n_rays,), rays_o.dtype) * render_step_size
         )
-    lattice = num_ladder_steps(
-        estimator.max_t_range, render_step_size, cone_angle, near=near_plane
-    )
-    use_skip = state.skip_grid is not None and cone_angle <= 0.0
-    if use_skip:
-        # Macro span must stay under 2 skip-cells for the dilation-1 midpoint
-        # query to be conservative (see build_skip_grid).
-        cell0 = float(
-            (estimator.roi_aabb[3] - estimator.roi_aabb[0])
-            / estimator.resolution[0]
+    lattice, use_skip, macro_stride, max_macro, row_cap = (
+        estimator.plan_traversal(
+            render_step_size,
+            cone_angle,
+            near_plane,
+            max_samples_per_ray=max_samples_per_ray,
+            max_macro_segments=max_macro_segments,
+            has_skip_grid=state.skip_grid is not None,
         )
-        macro_stride = int(2 * estimator.skip_factor * cell0 / render_step_size)
-        macro_stride = max(4, min(64, macro_stride))
-        max_macro = min(max_macro_segments, -(-lattice // macro_stride))
-        row_cap = max_samples_per_ray or (max_macro * macro_stride)
-        row_cap = min(row_cap, max_macro * macro_stride)
-    else:
-        macro_stride = 16
-        max_macro = 16
-        row_cap = max_samples_per_ray or lattice
+    )
     # 2. Fused traversal + compaction straight into the static field budget.
     capacity = sample_capacity or (n_rays * row_cap)
     cs = traverse_and_compact(

@@ -138,10 +138,20 @@ def test_importance_sampling_per_ray_counts():
     np.testing.assert_array_equal(
         np.asarray(out_s.is_valid).sum(-1), [8, 16, 1, 12]
     )
-    # per-ray results must match the scalar variant at that ray's count
+    # per-ray results must match the scalar variant at that ray's count,
+    # including every interval edge (the exact last-edge extrapolation rule
+    # of compute_intervels_kernel, pdf.cu:230-238).  c == 1 is excluded from
+    # the edge check: the reference kernel leaves that edge unwritten (OOB
+    # read, pdf.cu:211), so there is no reference value to match.
     for r, c in enumerate([8, 16, 1, 12]):
         one = RayIntervals(vals=intervals.vals[r : r + 1])
-        _, s_scalar = importance_sampling(one, cdfs[r : r + 1], int(c), False)
+        i_scalar, s_scalar = importance_sampling(
+            one, cdfs[r : r + 1], int(c), False
+        )
         np.testing.assert_allclose(
             out_s.vals[r, :c], s_scalar.vals[0], atol=1e-6
         )
+        if c >= 2:
+            np.testing.assert_allclose(
+                out_i.vals[r, : c + 1], i_scalar.vals[0], atol=1e-6
+            )
