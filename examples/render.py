@@ -39,9 +39,24 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    with open(args.model_path, "rb") as f:
-        ckpt = pickle.load(f)
-    params, occ_state = ckpt["params"], ckpt["occ_state"]
+    if Path(args.model_path).is_dir():
+        # orbax checkpoint directory written by the training CLIs
+        from nerfacc_tpu.estimators.occ_grid import OccGridState
+        from nerfacc_tpu.utils.checkpoint import restore_checkpoint
+
+        ckpt, step = restore_checkpoint(args.model_path, None)
+        params = ckpt["params"]
+        occ = ckpt["occ_state"]
+        if not isinstance(occ, OccGridState):
+            occ = OccGridState(
+                **{k: jnp.asarray(v) for k, v in occ.items() if v is not None}
+            )
+        occ_state = occ
+        print(f"restored step {step} from {args.model_path}")
+    else:
+        with open(args.model_path, "rb") as f:
+            ckpt = pickle.load(f)
+        params, occ_state = ckpt["params"], ckpt["occ_state"]
 
     # procedural test split (matches the smoke/procedural training configs)
     _, test_ds = make_loaders(num_rays=1, width=96, height=96, n_test=2)

@@ -1,0 +1,310 @@
+"""Bundle-adjusting NeRF (BARF) with occupancy-grid sampling: jointly
+optimize a vanilla-NeRF field and per-camera SE(3) pose corrections from
+noisy initial poses.
+
+Parity target: the reference's BARF benchmark plug-in (``.gitmodules:10-13``;
+results ``docs/source/examples/camera/barf.rst:12-34`` — BARF+occ reaches
+30.11 dB / 2.0 hrs with cam errors 0.070/0.0035 on NeRF-Synthetic).
+
+TPU design: pose deltas live in the same param tree as the field and ride
+one jitted train step; ray generation from refined poses happens inside the
+step (batched pose compose, no per-camera loop).  Coarse-to-fine PE
+annealing (``alpha``) is a traced scalar so a single compiled step serves
+the whole schedule.  Synthetic pose noise is applied to the training poses
+and recovery is measured by SE(3)-Procrustes-aligned rotation/translation
+errors, the BARF paper's metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+from common import Timer, psnr  # noqa: E402  (sys.path bootstrap)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfacc_tpu.datasets.procedural import generate_dataset
+from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+from nerfacc_tpu.models.barf import (
+    BARFRadianceField,
+    PoseRefine,
+    rays_from_pixels,
+    se3_exp,
+)
+from nerfacc_tpu.rendering import occgrid_render_rays
+
+
+def rotation_geodesic_deg(Ra: np.ndarray, Rb: np.ndarray) -> np.ndarray:
+    cos = (np.trace(Ra.transpose(0, 2, 1) @ Rb, axis1=1, axis2=2) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+def align_poses(pred: np.ndarray, gt: np.ndarray):
+    """SE(3) Procrustes on camera centers (Umeyama, no scale): returns
+    ``(R, t)`` mapping the GT frame into the predicted frame, plus the
+    post-alignment rotation (deg) and translation errors per camera."""
+    cp, cg = pred[:, :3, 3], gt[:, :3, 3]
+    mp, mg = cp.mean(0), cg.mean(0)
+    H = (cg - mg).T @ (cp - mp)
+    U, _, Vt = np.linalg.svd(H)
+    S = np.diag([1.0, 1.0, np.sign(np.linalg.det(Vt.T @ U.T))])
+    R = Vt.T @ S @ U.T
+    t = mp - R @ mg
+    gt_aligned_R = np.einsum("ij,njk->nik", R, gt[:, :3, :3])
+    gt_aligned_c = cg @ R.T + t
+    rot_err = rotation_geodesic_deg(pred[:, :3, :3], gt_aligned_R)
+    trans_err = np.linalg.norm(cp - gt_aligned_c, axis=-1)
+    return (R, t), rot_err, trans_err
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--num_rays", type=int, default=1024)
+    p.add_argument("--samples_per_ray", type=int, default=64)
+    p.add_argument("--pose_noise", type=float, default=0.10,
+                   help="std of the SE(3) twist noise on train poses")
+    p.add_argument("--no_anneal", action="store_true",
+                   help="disable coarse-to-fine PE (naive joint opt)")
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    smoke = args.smoke
+    width = height = 96 if smoke else 160
+    n_train = 12 if smoke else 24
+    max_steps = args.max_steps or (200 if smoke else 6000)
+    if smoke:
+        args.num_rays = min(args.num_rays, 256)
+    grid_resolution = 32 if smoke else 64
+    render_step_size = 8e-3 if smoke else 5e-3
+    aabb = np.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], np.float32)
+
+    train_images, train_c2w, test_images, test_c2w, focal = generate_dataset(
+        n_train=n_train, n_test=2, width=width, height=height, radius=2.5
+    )
+    near = 2.5 - 1.2
+    far = 2.5 + 1.2
+    K = np.array(
+        [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+        np.float32,
+    )
+    train_rgba = train_images.astype(np.float32) / 255.0
+    gt_c2w = train_c2w[:, :3, :4].copy()
+
+    # Perturb the training poses (the BARF synthetic protocol).
+    rng = np.random.default_rng(7)
+    noise = rng.normal(0.0, args.pose_noise, size=(n_train, 6)).astype(
+        np.float32
+    )
+    noise[:, 3:] *= 0.5  # translation noise at half the rotation scale
+    delta = np.asarray(se3_exp(jnp.asarray(noise)))
+    R = np.einsum("nij,njk->nik", delta[:, :, :3], gt_c2w[:, :, :3])
+    t = (
+        np.einsum("nij,nj->ni", delta[:, :, :3], gt_c2w[:, :, 3])
+        + delta[:, :, 3]
+    )
+    noisy_c2w = np.concatenate([R, t[:, :, None]], axis=-1).astype(np.float32)
+    _, rot0, tr0 = align_poses(noisy_c2w, gt_c2w)
+    print(
+        f"initial pose error: rot {rot0.mean():.3f} deg, "
+        f"trans {tr0.mean():.4f}"
+    )
+
+    key = jax.random.PRNGKey(0)
+    field = BARFRadianceField(
+        net_depth=4 if smoke else 8, net_width=128 if smoke else 256
+    )
+    poser = PoseRefine(n_cams=n_train)
+    key, k1, k2 = jax.random.split(key, 3)
+    params = {
+        "field": field.init(k1, jnp.zeros((8, 3)), jnp.zeros((8, 3))),
+        "pose": poser.init(
+            k2, jnp.zeros((4,), jnp.int32), jnp.zeros((4, 3, 4))
+        ),
+    }
+
+    estimator = OccGridEstimator(
+        roi_aabb=aabb, resolution=grid_resolution, levels=1
+    )
+    occ_state = estimator.init()
+
+    # BARF's two learning rates: field 5e-4 -> 1e-4, pose 1e-3 -> 1e-5.
+    field_sched = optax.exponential_decay(5e-4, max_steps, 0.2)
+    pose_sched = optax.exponential_decay(1e-3, max_steps, 0.01)
+    tx = optax.multi_transform(
+        {"field": optax.adam(field_sched), "pose": optax.adam(pose_sched)},
+        {"field": "field", "pose": "pose"},
+    )
+    opt_state = tx.init(params)
+
+    nominal = jnp.asarray(noisy_c2w)
+    Kj = jnp.asarray(K)
+    sample_capacity = args.num_rays * args.samples_per_ray
+
+    def alpha_at(step):
+        if args.no_anneal:
+            return jnp.float32(1.0)
+        # anneal frequencies in over the [10%, 50%] stretch of training
+        return jnp.clip((step / max_steps - 0.1) / 0.4, 0.0, 1.0)
+
+    def make_fns(fp, rays_o, rays_d, alpha):
+        def sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            return field.apply(
+                fp, x, alpha, method="query_density"
+            )[..., 0]
+
+        def rgb_sigma_fn(t_starts, t_ends, ray_indices):
+            t_mid = (t_starts + t_ends) / 2.0
+            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            rgb, sigma = field.apply(fp, x, rays_d[ray_indices], alpha)
+            return rgb, sigma[..., 0]
+
+        return sigma_fn, rgb_sigma_fn
+
+    @jax.jit
+    def train_step(
+        params, opt_state, occ_state, cam_ids, px, py, pixels, bkgd, alpha,
+        key,
+    ):
+        def loss_fn(p):
+            c2w = poser.apply(p["pose"], cam_ids, nominal[cam_ids])
+            rays_o, rays_d = rays_from_pixels(px, py, Kj, c2w)
+            sigma_fn, rgb_sigma_fn = make_fns(
+                p["field"], rays_o, rays_d, alpha
+            )
+            colors, _, _, n_samp, _ = occgrid_render_rays(
+                rgb_sigma_fn, sigma_fn, estimator, occ_state,
+                rays_o, rays_d,
+                near_plane=near, far_plane=far,
+                render_step_size=render_step_size,
+                render_bkgd=bkgd, stratified=True, key=key,
+                sample_capacity=sample_capacity,
+            )
+            return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
+
+        (loss, n_samp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n_samp
+
+    @functools.partial(jax.jit, static_argnames=("warmup",))
+    def occ_update(occ_state, params, alpha, key, warmup: bool):
+        occ_eval_fn = lambda x: field.apply(
+            params["field"], x, render_step_size, alpha,
+            method="query_opacity",
+        )
+        return estimator._update(
+            occ_state, step=0 if warmup else 10**9,
+            occ_eval_fn=occ_eval_fn, key=key, warmup_steps=1,
+        )
+
+    @jax.jit
+    def eval_render(params, occ_state, rays_o, rays_d):
+        sigma_fn, rgb_sigma_fn = make_fns(
+            params["field"], rays_o, rays_d, jnp.float32(1.0)
+        )
+        colors, _, _, _, _ = occgrid_render_rays(
+            rgb_sigma_fn, sigma_fn, estimator, occ_state, rays_o, rays_d,
+            near_plane=near, far_plane=far,
+            render_step_size=render_step_size,
+            render_bkgd=jnp.ones(3),
+            sample_capacity=2048 * args.samples_per_ray,
+        )
+        return colors
+
+    timer = Timer()
+    np_rng = np.random.default_rng(1)
+    for step in range(max_steps + 1):
+        alpha = alpha_at(step)
+        if step % 16 == 0:
+            key, sub = jax.random.split(key)
+            occ_state = occ_update(
+                occ_state, params, alpha, sub, warmup=step < 256
+            )
+        cam_ids = np_rng.integers(0, n_train, args.num_rays)
+        px = np_rng.integers(0, width, args.num_rays)
+        py = np_rng.integers(0, height, args.num_rays)
+        rgba = train_rgba[cam_ids, py, px]
+        bkgd = np_rng.random(3).astype(np.float32)
+        pixels = rgba[:, :3] * rgba[:, 3:] + bkgd * (1 - rgba[:, 3:])
+        key, sub = jax.random.split(key)
+        params, opt_state, loss, n_samp = train_step(
+            params, opt_state, occ_state,
+            jnp.asarray(cam_ids), jnp.asarray(px, jnp.float32),
+            jnp.asarray(py, jnp.float32), jnp.asarray(pixels),
+            jnp.asarray(bkgd), alpha, sub,
+        )
+        if step % max(1, max_steps // 10) == 0:
+            print(
+                f"step {step} loss {float(loss):.5f} alpha "
+                f"{float(alpha):.2f} n_samples {int(n_samp)} "
+                f"elapsed {timer.elapsed():.1f}s"
+            )
+
+    # Pose recovery metrics (Procrustes-aligned, the BARF protocol).
+    xi = np.asarray(params["pose"]["params"]["pose_deltas"])
+    delta = np.asarray(se3_exp(jnp.asarray(xi)))
+    Rr = np.einsum("nij,njk->nik", delta[:, :, :3], noisy_c2w[:, :, :3])
+    tr = (
+        np.einsum("nij,nj->ni", delta[:, :, :3], noisy_c2w[:, :, 3])
+        + delta[:, :, 3]
+    )
+    refined = np.concatenate([Rr, tr[:, :, None]], axis=-1)
+    (Ra, ta), rot1, tr1 = align_poses(refined, gt_c2w)
+    print(
+        f"refined pose error: rot {rot1.mean():.3f} deg (was "
+        f"{rot0.mean():.3f}), trans {tr1.mean():.4f} (was {tr0.mean():.4f})"
+    )
+
+    # Eval on held-out views, mapping GT test poses into the (gauge-drifted)
+    # reconstruction frame via the fitted alignment.
+    from nerfacc_tpu.datasets.utils import generate_rays
+
+    psnrs = []
+    for i in range(test_images.shape[0]):
+        c2w = test_c2w[i, :3, :4]
+        c2w = np.concatenate(
+            [Ra @ c2w[:, :3], (Ra @ c2w[:, 3] + ta)[:, None]], axis=-1
+        ).astype(np.float32)
+        xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+        rays = generate_rays(
+            xx.reshape(-1).astype(np.float32),
+            yy.reshape(-1).astype(np.float32), K, c2w, opengl=True,
+        )
+        chunks = []
+        for s in range(0, rays.origins.shape[0], 2048):
+            chunks.append(
+                eval_render(
+                    params, occ_state,
+                    rays.origins[s : s + 2048], rays.viewdirs[s : s + 2048],
+                )
+            )
+        img = jnp.concatenate(chunks).reshape(height, width, 3)
+        rgba = test_images[i].astype(np.float32) / 255.0
+        gt = rgba[..., :3] * rgba[..., 3:] + (1 - rgba[..., 3:])
+        p_i = psnr(img, jnp.asarray(gt))
+        psnrs.append(p_i)
+        print(f"  eval img {i}: PSNR {p_i:.2f}")
+    print(f"training done in {timer.elapsed():.1f}s")
+    print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB")
+    print(
+        f"FINAL pose errors rot {rot1.mean():.3f} deg trans {tr1.mean():.4f}"
+    )
+    return float(np.mean(psnrs)), float(rot1.mean()), float(tr1.mean())
+
+
+if __name__ == "__main__":
+    main()

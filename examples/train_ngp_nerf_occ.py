@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import pickle
 
 from common import (  # noqa: E402
     MIPNERF360_UNBOUNDED_SCENES,
@@ -35,6 +34,11 @@ from nerfacc_tpu.datasets.procedural import make_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.ngp import NGPRadianceField
 from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def build_config(args):
@@ -79,7 +83,13 @@ def main():
         default="lego",
         choices=NERF_SYNTHETIC_SCENES + MIPNERF360_UNBOUNDED_SCENES + ["procedural"],
     )
-    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="checkpoint directory (orbax; saved at the end and "
+                        "every --ckpt_every steps)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore params/opt/occ/step from --model_path")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="0 = only at the end")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
@@ -188,6 +198,32 @@ def main():
     )
     opt_state = tx.init(params)
 
+    start_step = 0
+    if args.resume and args.model_path and latest_step(args.model_path):
+        target = {
+            "params": params,
+            "opt_state": opt_state,
+            "occ_state": occ_state,
+        }
+        state, start_step = restore_checkpoint(args.model_path, target)
+        params, opt_state, occ_state = (
+            state["params"], state["opt_state"], state["occ_state"],
+        )
+        print(f"resumed from {args.model_path} at step {start_step}")
+
+    def save_ckpt(step):
+        if args.model_path:
+            save_checkpoint(
+                args.model_path,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "occ_state": occ_state,
+                },
+                step,
+            )
+            print(f"saved checkpoint at step {step} -> {args.model_path}")
+
     sample_capacity = cfg["target_sample_batch_size"]
     eval_chunk = 2048 if args.smoke else 8192
 
@@ -274,7 +310,7 @@ def main():
 
     timer = Timer()
     log_every = max(1, max_steps // 10)
-    for step in range(max_steps + 1):
+    for step in range(start_step, max_steps + 1):
         if step % 16 == 0:
             key, sub = jax.random.split(key)
             occ_state = occ_update(occ_state, params, sub, warmup=step < 256)
@@ -298,6 +334,8 @@ def main():
                 f"loss={float(loss):.5f} psnr={train_psnr:.2f} "
                 f"n_samples={int(n_samp)} rays={rays.origins.shape[0]}"
             )
+        if args.ckpt_every and step and step % args.ckpt_every == 0:
+            save_ckpt(step)
 
     total = timer.elapsed()
     print(f"training done in {total:.1f}s")
@@ -314,11 +352,7 @@ def main():
         print(f"  eval img {i}: PSNR {p_:.2f}")
     print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB in {total:.1f}s")
 
-    if args.model_path:
-        with open(args.model_path, "wb") as f:
-            pickle.dump(
-                {"params": params, "occ_state": occ_state, "step": max_steps}, f
-            )
+    save_ckpt(max_steps)
     return float(np.mean(psnrs))
 
 

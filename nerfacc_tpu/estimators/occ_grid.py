@@ -31,6 +31,7 @@ from ..grid import (
     num_ladder_steps,
     traverse_and_compact,
 )
+from ..ops.occ_query import bitpack_grid
 from ..volrend import (
     render_visibility_from_alpha,
     render_visibility_from_density,
@@ -52,6 +53,10 @@ class OccGridState:
     occs: Array  # (levels * cells_per_lvl,)
     binaries: Array  # (levels, rx, ry, rz) bool
     skip_grid: Optional[Array] = None  # (levels, rx/f, ...) dilated macro occupancy
+    # Bit-packed copies (u32 words along z) feeding the Pallas VMEM query
+    # kernel on TPU; rebuilt whenever the binary grids change.
+    binaries_packed: Optional[Array] = None  # (levels, rx, ry*ceil32(rz)/32)
+    skip_packed: Optional[Array] = None
 
 
 class OccGridEstimator(AbstractEstimator):
@@ -111,11 +116,14 @@ class OccGridEstimator(AbstractEstimator):
     # ------------------------------------------------------------------
     def init(self) -> OccGridState:
         binaries = jnp.zeros((self.levels,) + self.resolution, bool)
+        skip_grid = build_skip_grid(binaries, self.skip_factor)
         return OccGridState(
             aabbs=jnp.asarray(self._aabbs_np),
             occs=jnp.zeros((self.levels * self.cells_per_lvl,), jnp.float32),
             binaries=binaries,
-            skip_grid=build_skip_grid(binaries, self.skip_factor),
+            skip_grid=skip_grid,
+            binaries_packed=jax.vmap(bitpack_grid)(binaries),
+            skip_packed=jax.vmap(bitpack_grid)(skip_grid),
         )
 
     def set_binaries(self, state: OccGridState, binaries: Array) -> OccGridState:
@@ -124,9 +132,12 @@ class OccGridEstimator(AbstractEstimator):
         Use this instead of ``state.replace(binaries=...)`` — a stale
         ``skip_grid`` silently prunes everything in the macro-skip traversal.
         """
+        skip_grid = build_skip_grid(binaries, self.skip_factor)
         return state.replace(
             binaries=binaries,
-            skip_grid=build_skip_grid(binaries, self.skip_factor),
+            skip_grid=skip_grid,
+            binaries_packed=jax.vmap(bitpack_grid)(binaries),
+            skip_packed=jax.vmap(bitpack_grid)(skip_grid),
         )
 
     # ------------------------------------------------------------------
@@ -245,6 +256,8 @@ class OccGridEstimator(AbstractEstimator):
             skip_grid=state.skip_grid if use_skip else None,
             macro_stride=macro_stride,
             max_macro_segments=max_macro,
+            packed_grids=state.binaries_packed,
+            packed_skip=state.skip_packed if use_skip else None,
         )
         t_starts = cs.t_starts
         t_ends = cs.t_ends
@@ -387,10 +400,13 @@ class OccGridEstimator(AbstractEstimator):
         )
         thre = jnp.minimum(mean_occ, occ_thre)
         binaries = (occs > thre).reshape(state.binaries.shape)
+        skip_grid = build_skip_grid(binaries, self.skip_factor)
         return state.replace(
             occs=occs,
             binaries=binaries,
-            skip_grid=build_skip_grid(binaries, self.skip_factor),
+            skip_grid=skip_grid,
+            binaries_packed=jax.vmap(bitpack_grid)(binaries),
+            skip_packed=jax.vmap(bitpack_grid)(skip_grid),
         )
 
     # ------------------------------------------------------------------

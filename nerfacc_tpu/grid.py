@@ -142,6 +142,76 @@ def _query(x: Array, data: Array, base_aabb: Array) -> Tuple[Array, Array]:
     return _query_soa(x[..., 0], x[..., 1], x[..., 2], data, base_aabb)
 
 
+def _on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return (
+            "tpu" in dev.platform.lower()
+            or "tpu" in getattr(dev, "device_kind", "").lower()
+        )
+    except Exception:
+        return False
+
+
+def _query_dispatch(
+    px: Array,
+    py: Array,
+    pz: Array,
+    data: Array,
+    base_aabb: Array,
+    packed: Optional[Array],
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Occupancy query: Pallas VMEM kernel when a bit-packed grid is
+    available (and we're on TPU), XLA gather otherwise.
+
+    The Pallas path (``ops/occ_query.py``) answers queries from a
+    VMEM-resident grid at ~4 ns/query vs ~10 ns for the XLA HBM gather
+    (measured on v5e at 2M queries).  Multi-level grids run one kernel sweep
+    per level (each level's box is the 2^l-enlarged base, matching
+    ``OccGridEstimator``'s nesting) combined by the mip-selection rule of
+    ``_query_soa`` — levels are <= 4 in practice, and the mip math is pure
+    VPU arithmetic.
+    """
+    if packed is None or not (interpret or _on_tpu()):
+        occ, _ = _query_soa(px, py, pz, data, base_aabb)
+        return occ
+
+    from .ops.occ_query import occupancy_query_pallas
+
+    levels = data.shape[0]
+    res = tuple(int(r) for r in data.shape[1:])
+    if levels == 1:
+        return occupancy_query_pallas(
+            packed[0], base_aabb, px, py, pz,
+            resolution=res, tm=128, interpret=interpret,
+        )
+
+    # Mip selection (same math as _query_soa).
+    nx = (px - base_aabb[0]) / (base_aabb[3] - base_aabb[0]) - 0.5
+    ny = (py - base_aabb[1]) / (base_aabb[4] - base_aabb[1]) - 0.5
+    nz = (pz - base_aabb[2]) / (base_aabb[5] - base_aabb[2]) - 0.5
+    maxval = jnp.maximum(jnp.maximum(jnp.abs(nx), jnp.abs(ny)), jnp.abs(nz))
+    maxval = jnp.clip(maxval, min=0.1)
+    _, exponent = jnp.frexp(maxval)
+    mip = jnp.clip(exponent + 1, min=0)
+
+    center = (base_aabb[:3] + base_aabb[3:]) / 2
+    extent = (base_aabb[3:] - base_aabb[:3]) / 2
+    occ = jnp.zeros(px.shape, bool)
+    for lvl in range(levels):
+        aabb_l = jnp.concatenate(
+            [center - extent * (2**lvl), center + extent * (2**lvl)]
+        )
+        occ_l = occupancy_query_pallas(
+            packed[lvl], aabb_l, px, py, pz,
+            resolution=res, tm=128, interpret=interpret,
+        )
+        occ = jnp.where(mip == lvl, occ_l, occ)
+    return occ
+
+
 def _march_ladder(
     near: Array, n_edges: int, step_size: float, cone_angle: float
 ) -> Array:
@@ -282,6 +352,10 @@ def traverse_and_compact(
     skip_grid: Optional[Array] = None,
     macro_stride: int = 16,
     max_macro_segments: int = 16,
+    packed_grids: Optional[Array] = None,
+    packed_skip: Optional[Array] = None,
+    pallas_interpret: bool = False,
+    compact_chunk: int = 4,
 ) -> CompactSamples:
     """Fused traversal + global compaction (the training hot path).
 
@@ -325,7 +399,10 @@ def traverse_and_compact(
         mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
         my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
         mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
-        mocc, _ = _query_soa(mx, my, mz, skip_grid, base_aabb)
+        mocc = _query_dispatch(
+            mx, my, mz, skip_grid, base_aabb, packed_skip,
+            interpret=pallas_interpret,
+        )
         macro_valid = (
             mocc
             & (tm + span / 2 > lower[:, None])
@@ -382,7 +459,10 @@ def traverse_and_compact(
     px = rays_o[:, 0:1] + t_mid * rays_d[:, 0:1]
     py = rays_o[:, 1:2] + t_mid * rays_d[:, 1:2]
     pz = rays_o[:, 2:3] + t_mid * rays_d[:, 2:3]
-    occ, _ = _query_soa(px, py, pz, binaries, base_aabb)
+    occ = _query_dispatch(
+        px, py, pz, binaries, base_aabb, packed_grids,
+        interpret=pallas_interpret,
+    )
     valid = (
         occ
         & (t_mid >= lower[:, None])
@@ -394,34 +474,65 @@ def traverse_and_compact(
 
     vcum = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
     counts = jnp.minimum(vcum[:, -1], row_limit)
-    cum = jnp.cumsum(counts) - counts
-    total = cum[-1] + counts[-1]
 
-    # Global compaction by forward map: each valid lattice point knows its
-    # output slot (cum[row] + rank - 1); one packed scatter inverts the map
-    # (measured ~2x cheaper than per-slot binary searches).  row and lattice
-    # index pack into one int32: lattice needs ceil_log2 bits, rows get the
-    # rest (supports n_rays up to 2^(31 - bits_p)).
+    # Global compaction by forward map at CHUNK granularity: group the
+    # lattice into runs of `C` consecutive steps, scatter one packed int32
+    # per chunk that has any in-budget sample (C x fewer scatter indices —
+    # the scatter is the dominant compaction cost at ~8 ns/index on v5e),
+    # then expand chunks to samples with pure arithmetic.  The pack layout
+    # is [row | base_lattice_step | C valid bits]; partially-valid chunks
+    # surface their invalid samples as kept=False zero-length intervals.
+    C = compact_chunk
+    width = lat.shape[1]
     bits_p = max(1, int(max_lattice_steps + 1).bit_length())
-    assert n_rays < (1 << (31 - bits_p)), "too many rays for packed compaction"
-    in_budget = valid & (vcum <= row_limit)
-    slot = jnp.where(in_budget, cum[:, None] + vcum - 1, capacity)
-    rows_grid = jnp.broadcast_to(
-        jnp.arange(n_rays, dtype=jnp.int32)[:, None], lat.shape
+    # Chunking requires aligned shapes (chunks may not straddle macro
+    # segments) and int32 headroom; otherwise degrade to per-sample (C=1).
+    if (
+        width % C != 0
+        or capacity % C != 0
+        or (skip_grid is not None and cone_angle <= 0.0 and macro_stride % C)
+        or n_rays >= (1 << (31 - bits_p - C))
+    ):
+        C = 1
+    assert n_rays < (1 << (31 - bits_p - C)), (
+        "too many rays for packed compaction"
     )
-    packed = (rows_grid << bits_p) | lat
+    nch = width // C
+    cap_c = capacity // C
+    in_budget = valid & (vcum <= row_limit)
+    ib4 = in_budget.reshape(n_rays, nch, C)
+    cvalid = ib4.any(axis=-1)
+    ccum = jnp.cumsum(cvalid.astype(jnp.int32), axis=-1)
+    ccounts = ccum[:, -1]
+    ccum0 = jnp.cumsum(ccounts) - ccounts
+    ctotal = ccum0[-1] + ccounts[-1]
+    slot = jnp.where(cvalid, ccum0[:, None] + ccum - 1, cap_c)
+    vbits = (
+        ib4.astype(jnp.int32) << jnp.arange(C, dtype=jnp.int32)
+    ).sum(axis=-1)
+    base_lat = lat.reshape(n_rays, nch, C)[:, :, 0]
+    rows_ch = jnp.broadcast_to(
+        jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, nch)
+    )
+    packed = (rows_ch << (bits_p + C)) | (base_lat << C) | vbits
     inv = (
-        jnp.zeros((capacity,), jnp.int32)
+        jnp.zeros((cap_c,), jnp.int32)
         .at[slot.reshape(-1)]
         .set(packed.reshape(-1), mode="drop")
     )
-    r = inv >> bits_p
-    p = inv & ((1 << bits_p) - 1)
-    k = jnp.arange(capacity, dtype=jnp.int32)
-    near_r = jnp.take(near, r)
+    r_c = inv >> (bits_p + C)
+    base = (inv >> C) & ((1 << bits_p) - 1)
+    vb = inv & ((1 << C) - 1)
+    off = jnp.tile(jnp.arange(C, dtype=jnp.int32), cap_c)
+    r = jnp.repeat(r_c, C)
+    p = jnp.minimum(jnp.repeat(base, C) + off, max_lattice_steps)
+    vbit = (jnp.repeat(vb, C) >> off) & 1
+    kept = jnp.repeat(jnp.arange(cap_c, dtype=jnp.int32) < ctotal, C) & (
+        vbit == 1
+    )
+    near_r = jnp.repeat(jnp.take(near, r_c), C)
     t_starts = _ladder_at(near_r, p, step_size, cone_angle)
     t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)
-    kept = k < total
     t_ends = jnp.where(kept, t_ends, t_starts)
 
     # Termination planes (same semantics as traverse_grids).
@@ -466,6 +577,9 @@ def traverse_grids(
     skip_factor: int = 4,
     macro_stride: int = 16,
     max_macro_segments: int = 16,
+    packed_grids: Optional[Array] = None,
+    packed_skip: Optional[Array] = None,
+    pallas_interpret: bool = False,
 ) -> TraversalResults:
     """Vectorized multi-level grid traversal (see module docstring).
 
@@ -521,7 +635,10 @@ def traverse_grids(
         mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
         my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
         mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
-        mocc, _ = _query_soa(mx, my, mz, skip_grid, base_aabb)
+        mocc = _query_dispatch(
+            mx, my, mz, skip_grid, base_aabb, packed_skip,
+            interpret=pallas_interpret,
+        )
         macro_valid = (
             mocc
             & (tm + span / 2 > lower[:, None])
@@ -579,7 +696,10 @@ def traverse_grids(
     px = rays_o[:, 0:1] + t_mid * rays_d[:, 0:1]
     py = rays_o[:, 1:2] + t_mid * rays_d[:, 1:2]
     pz = rays_o[:, 2:3] + t_mid * rays_d[:, 2:3]
-    occ, _ = _query_soa(px, py, pz, binaries, base_aabb)
+    occ = _query_dispatch(
+        px, py, pz, binaries, base_aabb, packed_grids,
+        interpret=pallas_interpret,
+    )
 
     inside = (t_mid >= lower[:, None]) & (t_mid < far[:, None])
     valid = occ & inside & any_hit[:, None]

@@ -103,6 +103,8 @@ def occgrid_render_rays(
         skip_grid=state.skip_grid if use_skip else None,
         macro_stride=macro_stride,
         max_macro_segments=max_macro,
+        packed_grids=state.binaries_packed,
+        packed_skip=state.skip_packed if use_skip else None,
     )
     ray_indices = cs.ray_indices
     t_starts = cs.t_starts
@@ -231,6 +233,7 @@ def occgrid_render_rays_test(
             traverse_steps_limit=samples_per_round,
             rays_mask=alive,
             max_lattice_steps=window,
+            packed_grids=state.binaries_packed,
         )
         gather_idx, ray_indices, kept = compact_indices_from_counts(
             res.num_valid, samples_per_round, capacity

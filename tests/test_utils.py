@@ -48,6 +48,40 @@ def test_checkpoint_missing_raises():
             restore_checkpoint(d, {})
 
 
+def test_cli_save_resume_end_to_end():
+    """The flagship CLI must save an orbax checkpoint and resume from it
+    (reference parity: train_mlp_nerf.py:114-122,189-199)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    examples = pathlib.Path(__file__).resolve().parents[1] / "examples"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = f"{d}/ckpt"
+        base = [
+            sys.executable, "train_ngp_nerf_occ.py", "--smoke", "--cpu",
+            "--model_path", ckpt, "--num_rays", "256",
+        ]
+        r1 = subprocess.run(
+            base + ["--max_steps", "20"],
+            cwd=examples, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        assert latest_step(ckpt) == 20
+        r2 = subprocess.run(
+            base + ["--max_steps", "25", "--resume"],
+            cwd=examples, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert f"resumed from {ckpt} at step 20" in r2.stdout
+        assert latest_step(ckpt) == 25
+
+
 def test_time_jitted():
     dt = time_jitted(lambda x: x * 2 + 1, jnp.ones((128,)), warmup=1, iters=3)
     assert dt > 0
