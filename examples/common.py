@@ -30,6 +30,22 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> float:
     return -10.0 * np.log10(max(mse, 1e-10))
 
 
+def eval_metrics(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
+    """PSNR + SSIM + MS-SSIM (+ LPIPS when a weights-bearing install
+    exists; see nerfacc_tpu/utils/metrics.py for the parity note)."""
+    from nerfacc_tpu.utils.metrics import lpips_or_none, ms_ssim, ssim
+
+    out = {
+        "psnr": psnr(pred, target),
+        "ssim": float(ssim(pred, target)),
+        "ms_ssim": float(ms_ssim(pred, target)),
+    }
+    lp = lpips_or_none(np.asarray(pred), np.asarray(target))
+    if lp is not None:
+        out["lpips"] = lp
+    return out
+
+
 def render_image_chunked(render_fn, rays, chunk: int = 8192):
     """Eval-time full-image render: pad the flattened rays to a multiple of
     ``chunk`` so one jitted chunk shape serves every image."""

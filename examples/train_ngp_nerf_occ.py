@@ -20,6 +20,7 @@ from common import (  # noqa: E402
     MIPNERF360_UNBOUNDED_SCENES,
     NERF_SYNTHETIC_SCENES,
     Timer,
+    eval_metrics,
     psnr,
     render_image_chunked,
 )
@@ -93,7 +94,7 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
-    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
+    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused", "folded"])
     p.add_argument("--field", type=str, default="ngp", choices=["ngp", "tensorf", "kplanes"],
                    help="radiance field family (tensorf/kplanes = the reference's benchmark plug-ins)")
     p.add_argument("--levels", type=int, default=None)
@@ -150,9 +151,10 @@ def main():
 
     field_aabb = tuple(np.asarray(estimator._aabbs_np[-1]).tolist())
     if args.field == "ngp":
-        # Fast-config defaults for the fused encoder: 128-float table rows
-        # (8 corners x 16 feats) measured ~1.5x faster than 32-float rows.
-        fused = args.encoder == "fused"
+        # Fast-config defaults for the fused/folded encoders: 128-float
+        # table rows (8 corners x 16 feats) measured ~1.5x faster than
+        # 32-float rows.
+        fused = args.encoder in ("fused", "folded")
         field = NGPRadianceField(
             aabb=field_aabb,
             unbounded=cfg["unbounded"],
@@ -339,7 +341,7 @@ def main():
 
     total = timer.elapsed()
     print(f"training done in {total:.1f}s")
-    psnrs = []
+    psnrs, ssims = [], []
     for i in range(len(test_ds)):
         batch = test_ds[i]
         img = render_image_chunked(
@@ -347,10 +349,18 @@ def main():
             batch["rays"],
             chunk=eval_chunk,
         )
-        p_ = psnr(img, batch["pixels"])
-        psnrs.append(p_)
-        print(f"  eval img {i}: PSNR {p_:.2f}")
-    print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB in {total:.1f}s")
+        m = eval_metrics(img, batch["pixels"])
+        psnrs.append(m["psnr"])
+        ssims.append(m["ms_ssim"])
+        extra = f" lpips {m['lpips']:.4f}" if "lpips" in m else ""
+        print(
+            f"  eval img {i}: PSNR {m['psnr']:.2f} ssim {m['ssim']:.4f} "
+            f"ms-ssim {m['ms_ssim']:.4f}{extra}"
+        )
+    print(
+        f"FINAL mean PSNR {np.mean(psnrs):.2f} dB "
+        f"ms-ssim {np.mean(ssims):.4f} in {total:.1f}s"
+    )
 
     save_ckpt(max_steps)
     return float(np.mean(psnrs))

@@ -50,7 +50,7 @@ def main():
     )
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
-    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused"])
+    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused", "folded"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -100,7 +100,7 @@ def main():
         max_steps = args.max_steps or 20000
 
     key = jax.random.PRNGKey(42)
-    fused = args.encoder == "fused"
+    fused = args.encoder in ("fused", "folded")
     field = NGPRadianceField(
         aabb=tuple(aabb), unbounded=unbounded, encoder_type=args.encoder,
         n_levels=8 if fused else 16,

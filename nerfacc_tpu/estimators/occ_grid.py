@@ -360,13 +360,23 @@ class OccGridEstimator(AbstractEstimator):
                 uniform_idx = jax.random.randint(
                     k_uni, (n_cells,), 0, self.cells_per_lvl, jnp.int32
                 )
+                # Uniform over *occupied* cells (the reference's sampling,
+                # occ_grid.py:372-379) via inverse-CDF over the binary mask:
+                # O(cells + n log cells), unlike jax.random.categorical whose
+                # Gumbel-max materializes an (n, cells) noise tensor.
                 occ_mask = state.binaries[lvl].reshape(-1)
-                logits = jnp.where(occ_mask, 0.0, -1e9)
-                occupied_idx = jax.random.categorical(
-                    k_occ, logits, shape=(n_cells,)
+                cdf = jnp.cumsum(occ_mask.astype(jnp.int32))
+                total = cdf[-1]
+                u = jax.random.randint(
+                    k_occ, (n_cells,), 0, jnp.maximum(total, 1), jnp.int32
+                )
+                found = jnp.clip(
+                    jnp.searchsorted(cdf, u, side="right"),
+                    0,
+                    self.cells_per_lvl - 1,
                 ).astype(jnp.int32)
-                # If nothing is occupied yet the categorical degenerates to
-                # uniform-over-all, which is a harmless fallback.
+                # Nothing occupied yet -> harmless uniform-over-all fallback.
+                occupied_idx = jnp.where(total > 0, found, uniform_idx)
                 lvl_indices.append(
                     jnp.concatenate([uniform_idx, occupied_idx])
                 )

@@ -237,3 +237,114 @@ class HashGridEncoderFused(nn.Module):
 
         out = jnp.transpose(out.reshape(L, n, F), (1, 0, 2))  # (n, L, F)
         return out.reshape(batch_shape + (L * F,))
+
+
+class HashGridEncoderFolded(nn.Module):
+    """Corner-fused hash encoding with the trilinear combine FOLDED into the
+    consumer matmul (the fast path; v5e-measured redesign of
+    :class:`HashGridEncoderFused`).
+
+    The fused encoder's post-gather combine (``einsum (k,8) x (k,8,F)`` +
+    level transpose) materializes ``(L*n, 8, F)``/``(L, n, F)``
+    intermediates whose minor dims (16, 8) tile-pad up to 16x on TPU — at
+    the flagship config that combine chain costs more than the gather
+    itself.  Here the encoder instead returns the gathered corner rows
+    *pre-multiplied by their trilinear weights*, laid out ``(n, L*8*F)``
+    lane-aligned (128-wide per-level blocks, zero padding), and the first
+    MLP layer contracts over corners and features in ONE MXU matmul.  With
+    weights per (corner, feature) untied this strictly generalizes
+    ``W1 @ trilerp(corners)`` — equality is recovered by tying W1 rows
+    across corners (see ``test_folded_ties_to_fused``).
+
+    Everything before the gather is computed sample-major ``(n, L)`` and
+    fuses into the index computation / mask multiply without touching HBM;
+    the only materialized tensors are the flat index vector and the
+    ``(n, L*8F)`` output that feeds the matmul.
+
+    Replaces the same tiny-cuda-nn surface as the other encoders
+    (``examples/radiance_fields/ngp.py:99-137``).
+    """
+
+    n_levels: int = 8
+    n_features_per_level: int = 16
+    log2_hashmap_size: int = 15
+    base_resolution: int = 16
+    max_resolution: int = 4096
+
+    @property
+    def latent_dim(self) -> int:
+        return self.n_levels * 8 * self.n_features_per_level
+
+    def _resolutions(self):
+        if self.n_levels == 1:
+            return [self.base_resolution]
+        growth = np.exp(
+            (np.log(self.max_resolution) - np.log(self.base_resolution))
+            / (self.n_levels - 1)
+        )
+        return [
+            int(np.floor(self.base_resolution * growth**l))
+            for l in range(self.n_levels)
+        ]
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        T = 1 << self.log2_hashmap_size
+        L, F = self.n_levels, self.n_features_per_level
+        resolutions = self._resolutions()
+
+        table = self.param(
+            "table", nn.initializers.uniform(scale=2e-4), (L * T, 8 * F)
+        )
+        table = table - 1e-4
+
+        batch_shape = x.shape[:-1]
+        n = int(np.prod(batch_shape)) if batch_shape else 1
+        xs = x[..., 0].reshape(n)
+        ys = x[..., 1].reshape(n)
+        zs = x[..., 2].reshape(n)
+
+        # Sample-major (n, L) index math -> flat (n*L,) indices so the
+        # gathered rows land directly in (n, L*8F) layout (no transpose).
+        res = jnp.asarray(resolutions, x.dtype)[None, :]
+        xl, yl, zl = xs[:, None] * res, ys[:, None] * res, zs[:, None] * res
+        c0x, c0y, c0z = jnp.floor(xl), jnp.floor(yl), jnp.floor(zl)
+        cx = c0x.astype(jnp.int32)
+        cy = c0y.astype(jnp.int32)
+        cz = c0z.astype(jnp.int32)
+
+        res_i = jnp.asarray(resolutions, jnp.int32)[None, :]
+        use_dense = res_i**3 <= T
+        level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[None, :]
+        dense_idx = (cx * res_i + cy) * res_i + cz
+        h = (
+            (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+            ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+            ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+        ) & jnp.uint32(T - 1)
+        idx = jnp.where(use_dense, dense_idx & (T - 1), h.astype(jnp.int32))
+        idx = (idx + level_offset).reshape(-1)  # (n*L,) sample-major
+
+        g = jnp.take(table, idx, axis=0).reshape(n, L * 8 * F)
+
+        # Per-level corner-weight blocks (n, 8F), lane pattern c*F+f with
+        # corner bits c = (dx<<2 | dy<<1 | dz); all elementwise + broadcast,
+        # fused by XLA into the mask multiply.
+        lane_c = jnp.arange(8 * F, dtype=jnp.int32) // F
+        bx = (lane_c >> 2) & 1
+        by = (lane_c >> 1) & 1
+        bz = lane_c & 1
+        blocks = []
+        for lvl in range(L):
+            wx = (xl - c0x)[:, lvl : lvl + 1]  # (n, 1)
+            wy = (yl - c0y)[:, lvl : lvl + 1]
+            wz = (zl - c0z)[:, lvl : lvl + 1]
+            m = (
+                jnp.where(bx[None, :] == 1, wx, 1.0 - wx)
+                * jnp.where(by[None, :] == 1, wy, 1.0 - wy)
+                * jnp.where(bz[None, :] == 1, wz, 1.0 - wz)
+            )
+            blocks.append(m)
+        mask = jnp.concatenate(blocks, axis=-1)  # (n, L*8F)
+        out = g * mask
+        return out.reshape(batch_shape + (L * 8 * F,))

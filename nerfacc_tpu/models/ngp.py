@@ -18,12 +18,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .encoding import HashGridEncoder, spherical_harmonics_deg4
-from .hash_soa import HashGridEncoderFused, HashGridEncoderSoA
+from .hash_soa import (
+    HashGridEncoderFolded,
+    HashGridEncoderFused,
+    HashGridEncoderSoA,
+)
 
 _ENCODERS = {
     "hash": HashGridEncoder,
     "soa": HashGridEncoderSoA,
     "fused": HashGridEncoderFused,
+    "folded": HashGridEncoderFolded,
 }
 
 Array = jnp.ndarray
@@ -81,8 +86,11 @@ class NGPRadianceField(nn.Module):
         # The fused encoder stores 8 corners per row; drop its per-level entry
         # count 8x so the parameter budget matches the reference layout
         # (2^19 entries x 2 feats == 2^16 rows x 8 corners x 2 feats).
+        # Corner-per-row encoders (fused/folded) store 8 corners per entry;
+        # drop their per-level entry count 8x so the parameter budget matches
+        # the reference layout (2^19 x 2 == 2^16 rows x 8 corners x 2).
         log2_t = self.log2_hashmap_size - (
-            3 if self.encoder_type == "fused" else 0
+            3 if self.encoder_type in ("fused", "folded") else 0
         )
         self.encoder = _ENCODERS[self.encoder_type](
             n_levels=self.n_levels,
@@ -159,7 +167,7 @@ class NGPDensityField(nn.Module):
 
     def setup(self):
         log2_t = self.log2_hashmap_size - (
-            3 if self.encoder_type == "fused" else 0
+            3 if self.encoder_type in ("fused", "folded") else 0
         )
         self.encoder = _ENCODERS[self.encoder_type](
             n_levels=self.n_levels,

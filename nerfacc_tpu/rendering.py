@@ -195,6 +195,7 @@ def occgrid_render_rays_test(
     alpha_thre: float = 0.0,
     early_stop_eps: float = 1e-4,
     lattice_per_round: Optional[int] = None,
+    capacity_buckets: int = 3,
 ) -> Tuple[Array, Array, Array, int]:
     """Iterative alive-ray inference renderer (Instant-NGP style).
 
@@ -288,16 +289,21 @@ def occgrid_render_rays_test(
     total_samples = 0
     iter_samples = 0
     max_capacity = n_rays * samples_per_round
+    # Fixed geometric bucket ladder (ratio 4): at most `capacity_buckets`
+    # compiled variants of round_fn, ever.  An unbounded pow2 ladder would
+    # compile up to log2(n_rays * S) variants — at minutes per remote TPU
+    # compile that puts first-render latency in the tens of minutes.
+    buckets = sorted(
+        max(max_capacity >> (2 * i), samples_per_round)
+        for i in range(max(1, capacity_buckets))
+    )
     while iter_samples < max_samples:
         n_alive = int(jnp.sum(alive.astype(jnp.int32)))
         if n_alive == 0:
             break
-        # Capacity bucket: next pow2 covering the alive set's worst case.
-        want = n_alive * samples_per_round
-        capacity = 1
-        while capacity < want:
-            capacity *= 2
-        capacity = min(capacity, max_capacity)
+        # Smallest bucket covering the alive set's worst case.
+        want = min(n_alive * samples_per_round, max_capacity)
+        capacity = next(b for b in buckets if b >= want)
         near_planes, alive, rgb, opacity, depth, n_s = round_fn(
             near_planes, alive, rgb, opacity, depth, capacity=capacity
         )

@@ -1,4 +1,5 @@
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .metrics import lpips_or_none, ms_ssim, psnr, ssim
 from .profiler import time_jitted, trace
 
 __all__ = [
@@ -7,4 +8,8 @@ __all__ = [
     "latest_step",
     "time_jitted",
     "trace",
+    "psnr",
+    "ssim",
+    "ms_ssim",
+    "lpips_or_none",
 ]

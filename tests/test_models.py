@@ -10,6 +10,7 @@ from nerfacc_tpu.models.encoding import (
     spherical_harmonics_deg4,
 )
 from nerfacc_tpu.models.hash_soa import (
+    HashGridEncoderFolded,
     HashGridEncoderFused,
     HashGridEncoderSoA,
 )
@@ -42,8 +43,33 @@ def test_hash_encoders_agree_aos_vs_soa():
     )
 
 
+def test_folded_ties_to_fused():
+    """Summing the folded encoder's corner blocks must reproduce the fused
+    encoder's trilinear interpolation exactly (same table)."""
+    kw = dict(n_levels=3, n_features_per_level=4, log2_hashmap_size=11,
+              max_resolution=128)
+    enc_f = HashGridEncoderFused(**kw)
+    enc_m = HashGridEncoderFolded(**kw)
+    x = jnp.asarray(
+        np.random.default_rng(5).random((193, 3), dtype=np.float32)
+    )
+    pf = enc_f.init(jax.random.PRNGKey(0), x[:8])
+    pm = {"params": {"table": pf["params"]["table"]}}
+    want = enc_f.apply(pf, x)  # (n, L*F)
+    got = enc_m.apply(pm, x)  # (n, L*8F)
+    L, F = 3, 4
+    tied = got.reshape(x.shape[0], L, 8, F).sum(axis=2).reshape(
+        x.shape[0], L * F
+    )
+    np.testing.assert_allclose(
+        np.asarray(tied), np.asarray(want), rtol=1e-5, atol=1e-7
+    )
+
+
 @pytest.mark.parametrize(
-    "enc_cls", [HashGridEncoder, HashGridEncoderSoA, HashGridEncoderFused]
+    "enc_cls",
+    [HashGridEncoder, HashGridEncoderSoA, HashGridEncoderFused,
+     HashGridEncoderFolded],
 )
 def test_encoder_grads_flow(enc_cls):
     enc = enc_cls(n_levels=3, log2_hashmap_size=10, max_resolution=64)
@@ -181,3 +207,40 @@ def test_kplanes_field_dynamic():
     # time dependence: different t changes density
     sig2 = f.apply(p, x, jnp.full((8, 1), 0.9), method="query_density")
     assert float(jnp.abs(sig - sig2).max()) > 0
+
+
+def test_tineuvox_field():
+    """TiNeuVox-style voxel+time field: shapes, time dependence, grads
+    (reference capability: tineuvox benchmark plug-in, .gitmodules:15-18)."""
+    from nerfacc_tpu.models.tineuvox import TiNeuVoxRadianceField
+
+    field = TiNeuVoxRadianceField(
+        aabb=(-1, -1, -1, 1, 1, 1), resolution=16, net_width=16
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.8, 0.8, (33, 3)).astype(np.float32)
+    )
+    d = jnp.ones((33, 3)) / np.sqrt(3.0)
+    t0 = jnp.zeros((33, 1))
+    t1 = jnp.ones((33, 1)) * 0.7
+    params = field.init(jax.random.PRNGKey(0), x, t0, d)
+    rgb, sigma = field.apply(params, x, t0, d)
+    assert rgb.shape == (33, 3) and sigma.shape == (33, 1)
+    assert np.isfinite(np.asarray(rgb)).all()
+    # the deformation net must make density time-dependent
+    s0 = np.asarray(field.apply(params, x, t0, method="query_density"))
+    s1 = np.asarray(field.apply(params, x, t1, method="query_density"))
+    assert not np.allclose(s0, s1)
+    # opacity probe used by the occ estimator
+    op = field.apply(params, x, t0, 1e-2, method="query_opacity")
+    assert op.shape == (33, 1)
+    g = jax.grad(
+        lambda p: float_loss(field, p, x, t1, d)
+    )(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def float_loss(field, p, x, t, d):
+    rgb, sigma = field.apply(p, x, t, d)
+    return (rgb**2).sum() + (sigma**2).sum()
