@@ -14,9 +14,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import pickle
-import time
-from pathlib import Path
 
 from common import (  # noqa: E402  (sys.path bootstrap)
     NERF_SYNTHETIC_SCENES,
@@ -35,6 +32,11 @@ from nerfacc_tpu.datasets.procedural import make_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.mlp import VanillaNeRFRadianceField
 from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def main():
@@ -101,11 +103,13 @@ def main():
     opt_state = tx.init(params)
 
     start_step = 0
-    if args.model_path and Path(args.model_path).exists():
-        with open(args.model_path, "rb") as f:
-            ckpt = pickle.load(f)
-        params, opt_state, occ_state, start_step = (
-            ckpt["params"], ckpt["opt_state"], ckpt["occ_state"], ckpt["step"],
+    if args.model_path and latest_step(args.model_path):
+        target = {
+            "params": params, "opt_state": opt_state, "occ_state": occ_state,
+        }
+        st, start_step = restore_checkpoint(args.model_path, target)
+        params, opt_state, occ_state = (
+            st["params"], st["opt_state"], st["occ_state"],
         )
         print(f"resumed from {args.model_path} at step {start_step}")
 
@@ -218,16 +222,15 @@ def main():
     print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB")
 
     if args.model_path:
-        with open(args.model_path, "wb") as f:
-            pickle.dump(
-                {
-                    "params": params,
-                    "opt_state": opt_state,
-                    "occ_state": occ_state,
-                    "step": max_steps,
-                },
-                f,
-            )
+        save_checkpoint(
+            args.model_path,
+            {
+                "params": params,
+                "opt_state": opt_state,
+                "occ_state": occ_state,
+            },
+            max_steps,
+        )
         print(f"saved checkpoint to {args.model_path}")
     return float(np.mean(psnrs))
 

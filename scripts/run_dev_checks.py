@@ -54,6 +54,7 @@ def main():
             "examples/train_ngp_nerf_occ.py",
             "examples/train_ngp_nerf_prop.py",
             "examples/train_mlp_tnerf.py",
+            "examples/train_barf.py",
         ]:
             if run(
                 [sys.executable, script, "--smoke", "--cpu", "--max_steps", "30"]

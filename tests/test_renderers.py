@@ -225,3 +225,50 @@ def test_refilter_capacity_matches_mask_path():
     assert int(n2) <= int(n1)
     np.testing.assert_allclose(c1, c2, atol=2e-3)
     np.testing.assert_allclose(o1, o2, atol=2e-3)
+
+
+def test_test_renderer_with_timestamps():
+    """Dynamic-scene (dnerf-style) inference: the test renderer's builder
+    closure carries per-ray timestamps; a time-dependent field renders
+    consistently vs the train driver (reference capability:
+    `examples/train_mlp_tnerf.py` eval with timestamps)."""
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup(n_rays=32)
+    times = jnp.asarray(
+        np.random.default_rng(3).random(32, dtype=np.float32)
+    )
+
+    def sigma_t(x, t):
+        # time modulates the sphere radius
+        r = 0.4 + 0.15 * t
+        return jnp.where(jnp.linalg.norm(x, axis=-1) < r, 8.0, 0.0)
+
+    def rgb_t(x, t):
+        return jax.nn.sigmoid(x * 2.0 + t[..., None])
+
+    def builder(ro, rd):
+        def rgb_sigma_fn(ts, te, ri):
+            x = ro[ri] + ((ts + te) / 2)[:, None] * rd[ri]
+            t = times[ri]
+            return rgb_t(x, t), sigma_t(x, t)
+
+        return rgb_sigma_fn
+
+    rgb_test, opa_test, _, n_s = occgrid_render_rays_test(
+        builder, estimator, state, rays_o, rays_d,
+        max_samples=256, samples_per_round=32,
+        render_step_size=2e-2, render_bkgd=jnp.ones(3),
+    )
+    assert n_s > 0
+
+    def sigma_fn(ts, te, ri):
+        x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+        return sigma_t(x, times[ri])
+
+    rgb_train, _, _, _, extras = occgrid_render_rays(
+        builder(rays_o, rays_d), sigma_fn, estimator, state,
+        rays_o, rays_d, render_step_size=2e-2,
+        render_bkgd=jnp.ones(3), sample_capacity=32 * 256,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_test), np.asarray(rgb_train), atol=5e-2
+    )
