@@ -199,9 +199,9 @@ def quality_phase(psnr_target: float):
     field = NGPRadianceField(
         aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
         encoder_type=os.environ.get("BENCH_ENCODER", "fused"),
-        n_levels=8,
-        n_features_per_level=16,
-        log2_hashmap_size=18,
+        n_levels=int(os.environ.get("BENCH_LEVELS", "8")),
+        n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
+        log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
     )
     key = jax.random.PRNGKey(42)
     key, sub = jax.random.split(key)

@@ -153,16 +153,18 @@ class OccGridEstimator(AbstractEstimator):
         """Static traversal-shape plan shared by every sampling entry point.
 
         Returns ``(lattice, use_skip, macro_stride, max_macro, row_cap)``.
-        ``use_skip`` is decided host-side (macro skipping needs a uniform
-        ladder, i.e. ``cone_angle <= 0``); ``macro_stride`` keeps each macro
-        span under 2 skip-cells so the dilation-1 midpoint query stays
-        conservative (see :func:`~nerfacc_tpu.grid.build_skip_grid`).
+        For the uniform ladder ``macro_stride`` keeps each macro span under
+        2 skip-cells so the dilation-1 midpoint query stays conservative
+        (see :func:`~nerfacc_tpu.grid.build_skip_grid`); the geometric
+        (cone) ladder uses a fixed stride of 16 — there segment span and
+        mip cell size both grow ~ t, and the traversal probes 4 points per
+        segment to stay conservative.
         """
         lattice = num_ladder_steps(
             self.max_t_range, render_step_size, cone_angle, near=near_plane
         )
-        use_skip = has_skip_grid and cone_angle <= 0.0
-        if use_skip:
+        use_skip = has_skip_grid
+        if use_skip and cone_angle <= 0.0:
             cell0 = float(
                 (self.roi_aabb[3] - self.roi_aabb[0]) / self.resolution[0]
             )
@@ -170,6 +172,11 @@ class OccGridEstimator(AbstractEstimator):
                 2 * self.skip_factor * cell0 / render_step_size
             )
             macro_stride = max(4, min(64, macro_stride))
+            max_macro = min(max_macro_segments, -(-lattice // macro_stride))
+            row_cap = max_samples_per_ray or (max_macro * macro_stride)
+            row_cap = min(row_cap, max_macro * macro_stride)
+        elif use_skip:
+            macro_stride = 16
             max_macro = min(max_macro_segments, -(-lattice // macro_stride))
             row_cap = max_samples_per_ray or (max_macro * macro_stride)
             row_cap = min(row_cap, max_macro * macro_stride)

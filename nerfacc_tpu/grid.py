@@ -92,7 +92,12 @@ def _enlarge_aabb(aabb, factor: float):
 
 
 def _query_soa(
-    px: Array, py: Array, pz: Array, data: Array, base_aabb: Array
+    px: Array,
+    py: Array,
+    pz: Array,
+    data: Array,
+    base_aabb: Array,
+    mip_pad: int = 0,
 ) -> Tuple[Array, Array]:
     """Mip-level occupancy lookup, structure-of-arrays layout.
 
@@ -100,6 +105,10 @@ def _query_soa(
     any (matching) shape — on TPU a ``(..., 3)`` point tensor is tiled with a
     42x-padded minor dimension, so the hot traversal path keeps coordinates
     as separate arrays and gathers the grid through a flat 1-D index.
+
+    ``mip_pad > 0`` unions the lookup over levels ``mip .. mip+pad`` — used
+    by the macro-skip probes, whose conservatism would otherwise break when
+    a probe and the samples it stands in for straddle a mip boundary.
     """
     shape = px.shape
     nx = (px - base_aabb[0]) / (base_aabb[3] - base_aabb[0]) - 0.5
@@ -113,22 +122,33 @@ def _query_soa(
     mip = jnp.clip(exponent + 1, min=0)
     selector = mip < data.shape[0]
 
-    inv_scale = jnp.exp2(-mip.astype(px.dtype))
     levels, rx, ry, rz = data.shape
-
-    def cell(coord, r):
-        i = ((coord * inv_scale + 0.5) * r).astype(jnp.int32)
-        return jnp.clip(i, 0, r - 1)
-
-    ix = cell(nx, rx)
-    iy = cell(ny, ry)
-    iz = cell(nz, rz)
-    mip_c = jnp.clip(mip, max=levels - 1)
-    flat_idx = ((mip_c * rx + ix) * ry + iy) * rz + iz
-
     flat = data.reshape(-1)
-    vals = jnp.take(flat, flat_idx.reshape(-1)).reshape(shape)
-    return vals & selector if vals.dtype == bool else vals * selector, selector
+
+    out = None
+    for dp in range(mip_pad + 1):
+        mip_p = jnp.clip(mip + dp, max=levels - 1)
+        inv_scale = jnp.exp2(-mip_p.astype(px.dtype))
+
+        def cell(coord, r, s=inv_scale):
+            i = ((coord * s + 0.5) * r).astype(jnp.int32)
+            return jnp.clip(i, 0, r - 1)
+
+        flat_idx = (
+            ((mip_p * rx + cell(nx, rx)) * ry + cell(ny, ry)) * rz
+            + cell(nz, rz)
+        )
+        vals = jnp.take(flat, flat_idx.reshape(-1)).reshape(shape)
+        if out is None:
+            out = vals
+        elif vals.dtype == bool:
+            out = out | vals
+        else:
+            out = jnp.maximum(out, vals)
+
+    return (
+        out & selector if out.dtype == bool else out * selector
+    ), selector
 
 
 def _query(x: Array, data: Array, base_aabb: Array) -> Tuple[Array, Array]:
@@ -162,6 +182,7 @@ def _query_dispatch(
     packed: Optional[Array],
     *,
     interpret: bool = False,
+    mip_pad: int = 0,
 ) -> Array:
     """Occupancy query: Pallas VMEM kernel when a bit-packed grid is
     available (and we're on TPU), XLA gather otherwise.
@@ -175,7 +196,7 @@ def _query_dispatch(
     VPU arithmetic.
     """
     if packed is None or not (interpret or _on_tpu()):
-        occ, _ = _query_soa(px, py, pz, data, base_aabb)
+        occ, _ = _query_soa(px, py, pz, data, base_aabb, mip_pad=mip_pad)
         return occ
 
     from .ops.occ_query import occupancy_query_pallas
@@ -208,7 +229,10 @@ def _query_dispatch(
             packed[lvl], aabb_l, px, py, pz,
             resolution=res, tm=128, interpret=interpret,
         )
-        occ = jnp.where(mip == lvl, occ_l, occ)
+        # Level lvl answers for points whose mip is in [lvl - mip_pad, lvl]
+        # (mip_pad > 0 = the conservative union used by macro-skip probes).
+        sel = (mip <= lvl) & (mip >= lvl - mip_pad)
+        occ = occ | (occ_l & sel)
     return occ
 
 
@@ -389,24 +413,36 @@ def traverse_and_compact(
     lower = jnp.maximum(near, t_enter)
 
     examined_end = None
-    if skip_grid is not None and cone_angle <= 0.0:
+    if skip_grid is not None:
         m_segs = -(-max_lattice_steps // macro_stride)
         k_keep = max_macro_segments
-        span = macro_stride * step_size
 
-        km = (jnp.arange(m_segs, dtype=dtype) + 0.5) * macro_stride
-        tm = near[:, None] + km * step_size
-        mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
-        my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
-        mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
-        mocc = _query_dispatch(
-            mx, my, mz, skip_grid, base_aabb, packed_skip,
-            interpret=pallas_interpret,
+        # Closed-form segment bounds on the (possibly geometric) ladder.
+        seg_k = jnp.arange(m_segs, dtype=jnp.int32) * macro_stride
+        seg_lo = _ladder_at(near[:, None], seg_k, step_size, cone_angle)
+        seg_hi = _ladder_at(
+            near[:, None], seg_k + macro_stride, step_size, cone_angle
         )
+        # Uniform ladder: the midpoint query is conservative (stride is
+        # sized against the dilated skip cell).  Geometric ladder (cone):
+        # segment spans grow ~ cone * t while mip cells grow ~ t too, so a
+        # fixed number of probes per segment keeps the test conservative.
+        offsets = (0.5,) if cone_angle <= 0.0 else (0.125, 0.375, 0.625, 0.875)
+        mocc = None
+        for off in offsets:
+            tm = seg_lo + (seg_hi - seg_lo) * off
+            mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
+            my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
+            mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
+            o = _query_dispatch(
+                mx, my, mz, skip_grid, base_aabb, packed_skip,
+                interpret=pallas_interpret, mip_pad=1,
+            )
+            mocc = o if mocc is None else (mocc | o)
         macro_valid = (
             mocc
-            & (tm + span / 2 > lower[:, None])
-            & (tm - span / 2 < far[:, None])
+            & (seg_hi > lower[:, None])
+            & (seg_lo < far[:, None])
             & any_hit[:, None]
         )
         mcum = jnp.cumsum(macro_valid.astype(jnp.int32), axis=-1)
@@ -427,7 +463,9 @@ def traverse_and_compact(
         seg_live = seg_idx < m_segs
         macro_truncated = mcum[:, -1] > k_keep
         last_seg = jnp.max(jnp.where(seg_live, seg_idx, 0), axis=-1)
-        macro_end = near + (last_seg + 1).astype(dtype) * span
+        macro_end = _ladder_at(
+            near, (last_seg + 1) * macro_stride, step_size, cone_angle
+        )
         examined_end = jnp.where(
             macro_truncated, macro_end, jnp.full_like(near, jnp.inf)
         )
@@ -437,11 +475,16 @@ def traverse_and_compact(
             + jnp.arange(macro_stride, dtype=jnp.int32)
         ).reshape(n_rays, k_keep * macro_stride)
         lat = jnp.minimum(lat, max_lattice_steps)
-        t_mid = _ladder_at(
-            near[:, None], lat, step_size, cone_angle
-        ) + step_size * 0.5
+        t0_m = _ladder_at(near[:, None], lat, step_size, cone_angle)
+        t1_m = _ladder_at(near[:, None], lat + 1, step_size, cone_angle)
+        t_mid = (t0_m + t1_m) * 0.5
         live = jnp.repeat(seg_live, macro_stride, axis=-1)
-        lattice_end = near + jnp.float32(max_lattice_steps) * step_size
+        lattice_end = _ladder_at(
+            near,
+            jnp.full((n_rays,), max_lattice_steps, jnp.int32),
+            step_size,
+            cone_angle,
+        )
         width = k_keep * macro_stride
     else:
         width = max_lattice_steps
@@ -490,7 +533,7 @@ def traverse_and_compact(
     if (
         width % C != 0
         or capacity % C != 0
-        or (skip_grid is not None and cone_angle <= 0.0 and macro_stride % C)
+        or (skip_grid is not None and macro_stride % C)
         or n_rays >= (1 << (31 - bits_p - C))
     ):
         C = 1
@@ -619,30 +662,40 @@ def traverse_grids(
     lower = jnp.maximum(near, t_enter)
     examined_end = None  # how far marching looked (for termination planes)
 
-    if skip_grid is not None and cone_angle <= 0.0:
+    if skip_grid is not None:
         # --- Hierarchical stage 1: macro-skip + fine refine. -------------
         # The vectorized analogue of the CUDA DDA's empty-space skipping:
         # a coarse dilated grid prunes macro segments of `macro_stride`
         # steps, then only the first `max_macro_segments` live segments per
         # ray are refined at full resolution — shrinking every downstream
-        # array by ~L / (K * stride).
+        # array by ~L / (K * stride).  Closed-form ladder bounds make this
+        # work for the geometric (cone-angle) ladder too; there multiple
+        # probes per segment keep the occupancy test conservative (segment
+        # span and mip cell size both grow ~ t).
         m_segs = -(-max_lattice_steps // macro_stride)
         k_keep = max_macro_segments
-        span = macro_stride * step_size
 
-        km = (jnp.arange(m_segs, dtype=dtype) + 0.5) * macro_stride
-        tm = near[:, None] + km * step_size  # (n, M) macro midpoints
-        mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
-        my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
-        mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
-        mocc = _query_dispatch(
-            mx, my, mz, skip_grid, base_aabb, packed_skip,
-            interpret=pallas_interpret,
+        seg_k = jnp.arange(m_segs, dtype=jnp.int32) * macro_stride
+        seg_lo = _ladder_at(near[:, None], seg_k, step_size, cone_angle)
+        seg_hi = _ladder_at(
+            near[:, None], seg_k + macro_stride, step_size, cone_angle
         )
+        offsets = (0.5,) if cone_angle <= 0.0 else (0.125, 0.375, 0.625, 0.875)
+        mocc = None
+        for off in offsets:
+            tm = seg_lo + (seg_hi - seg_lo) * off
+            mx = rays_o[:, 0:1] + tm * rays_d[:, 0:1]
+            my = rays_o[:, 1:2] + tm * rays_d[:, 1:2]
+            mz = rays_o[:, 2:3] + tm * rays_d[:, 2:3]
+            o = _query_dispatch(
+                mx, my, mz, skip_grid, base_aabb, packed_skip,
+                interpret=pallas_interpret, mip_pad=1,
+            )
+            mocc = o if mocc is None else (mocc | o)
         macro_valid = (
             mocc
-            & (tm + span / 2 > lower[:, None])
-            & (tm - span / 2 < far[:, None])
+            & (seg_hi > lower[:, None])
+            & (seg_lo < far[:, None])
             & any_hit[:, None]
         )
 
@@ -667,7 +720,9 @@ def traverse_grids(
         macro_truncated = mcum[:, -1] > k_keep
         # Resumption point when macro-truncated: end of the last kept seg.
         last_seg = jnp.max(jnp.where(seg_live, seg_idx, 0), axis=-1)
-        macro_end = near + (last_seg + 1).astype(dtype) * span
+        macro_end = _ladder_at(
+            near, (last_seg + 1) * macro_stride, step_size, cone_angle
+        )
         examined_end = jnp.where(
             macro_truncated, macro_end, jnp.full_like(near, jnp.inf)
         )
@@ -682,7 +737,12 @@ def traverse_grids(
         t1 = _ladder_at(near[:, None], p + 1, step_size, cone_angle)
         t_mid = (t0 + t1) * 0.5
         seg_live_fine = jnp.repeat(seg_live, macro_stride, axis=-1)
-        lattice_end = near + jnp.float32(max_lattice_steps) * step_size
+        lattice_end = _ladder_at(
+            near,
+            jnp.full((n_rays,), max_lattice_steps, jnp.int32),
+            step_size,
+            cone_angle,
+        )
     else:
         # --- Dense stage 1: full ladder (SoA per-axis arrays — a
         # (n_rays, L, 3) tensor would tile with a 42x-padded minor dim).

@@ -249,3 +249,44 @@ def test_traverse_cone_angle_geometric_steps():
     sel0 = valid & (tsv * cone < 0.008) & (tsv > 0)
     if sel0.any():
         np.testing.assert_allclose(dtv[sel0], 0.01, rtol=1e-4)
+
+
+def test_cone_macro_skip_preserves_samples():
+    """Geometric-ladder (cone>0) macro skipping must keep exactly the
+    samples the dense lattice finds, as long as the macro budget covers the
+    occupied spans (the 360/unbounded fast path)."""
+    from nerfacc_tpu.grid import build_skip_grid
+
+    n_rays = 24
+    rng9 = np.random.default_rng(9)
+    d9 = rng9.normal(size=(n_rays, 3)).astype(np.float32)
+    d9 /= np.linalg.norm(d9, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-3.0 * d9)
+    rays_d = jnp.asarray(d9)
+    base_aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    aabbs = jnp.stack([_enlarge_aabb(base_aabb, 2**i) for i in range(2)])
+
+    # sparse shell occupancy in both levels
+    g = (np.arange(32) + 0.5) / 32 * 2 - 1
+    gx, gy, gz = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(gx**2 + gy**2 + gz**2)
+    shell = np.abs(r - 0.55) < 0.12
+    binaries = jnp.asarray(np.stack([shell, shell]))
+    skip = build_skip_grid(binaries, 2)
+
+    kw = dict(step_size=0.01, cone_angle=0.008, max_lattice_steps=512,
+              traverse_steps_limit=256)
+    dense = traverse_grids(rays_o, rays_d, binaries, aabbs, **kw)
+    macro = traverse_grids(
+        rays_o, rays_d, binaries, aabbs,
+        skip_grid=skip, macro_stride=16, max_macro_segments=16, **kw,
+    )
+    assert int(dense.is_valid.sum()) > 0
+    for ray in range(n_rays):
+        a = np.sort(
+            np.asarray(dense.t_starts[ray])[np.asarray(dense.is_valid[ray])]
+        )
+        b = np.sort(
+            np.asarray(macro.t_starts[ray])[np.asarray(macro.is_valid[ray])]
+        )
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
