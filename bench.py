@@ -143,21 +143,28 @@ def throughput_phase():
     _ = occ_update(occ_state, params, key)
     jax.block_until_ready(_)
 
+    # Dispatch the whole window and read sample counts AFTER the clock
+    # stops — a per-step host read of `n_samp` would serialize each step
+    # with the device round-trip (measured ~25-30 ms on the axon tunnel),
+    # which no real training loop pays (CLIs read stats at log points).
     n_iters = 30
     t0 = time.perf_counter()
-    total_samples = 0
+    n_samps = []
     for i in range(n_iters):
         key, sub = jax.random.split(key)
         params, opt_state, loss, n_samp = train_step(params, opt_state, sub)
-        total_samples += int(n_samp)
+        n_samps.append(n_samp)
     jax.block_until_ready(params)
     step_time = time.perf_counter() - t0
+    total_samples = int(np.sum([int(x) for x in n_samps]))
 
     n_updates = 4
     t0 = time.perf_counter()
+    outs = []
     for i in range(n_updates):
         key, sub = jax.random.split(key)
-        jax.block_until_ready(occ_update(occ_state, params, sub))
+        outs.append(occ_update(occ_state, params, sub))
+    jax.block_until_ready(outs)
     update_time = (time.perf_counter() - t0) / n_updates
 
     # Amortized: one update per 16 steps (occ_grid.py:223 cadence).

@@ -368,22 +368,28 @@ class OccGridEstimator(AbstractEstimator):
                     k_uni, (n_cells,), 0, self.cells_per_lvl, jnp.int32
                 )
                 # Uniform over *occupied* cells (the reference's sampling,
-                # occ_grid.py:372-379) via inverse-CDF over the binary mask:
-                # O(cells + n log cells), unlike jax.random.categorical whose
-                # Gumbel-max materializes an (n, cells) noise tensor.
+                # occ_grid.py:372-379): compact the occupied cell ids with
+                # one rank scatter, then draw uniform ranks.  O(cells + n)
+                # with ~n/20 the indexed ops of a searchsorted inverse-CDF
+                # (binary search costs log(cells) gathers per draw — ~77 ms
+                # at res-128 on v5e), and none of jax.random.categorical's
+                # (n, cells) Gumbel blowup.
                 occ_mask = state.binaries[lvl].reshape(-1)
                 cdf = jnp.cumsum(occ_mask.astype(jnp.int32))
                 total = cdf[-1]
+                cell_arange = jnp.arange(self.cells_per_lvl, dtype=jnp.int32)
+                occupied_cells = (
+                    jnp.zeros((self.cells_per_lvl,), jnp.int32)
+                    .at[jnp.where(occ_mask, cdf - 1, self.cells_per_lvl)]
+                    .set(cell_arange, mode="drop")
+                )
                 u = jax.random.randint(
                     k_occ, (n_cells,), 0, jnp.maximum(total, 1), jnp.int32
                 )
-                found = jnp.clip(
-                    jnp.searchsorted(cdf, u, side="right"),
-                    0,
-                    self.cells_per_lvl - 1,
-                ).astype(jnp.int32)
                 # Nothing occupied yet -> harmless uniform-over-all fallback.
-                occupied_idx = jnp.where(total > 0, found, uniform_idx)
+                occupied_idx = jnp.where(
+                    total > 0, jnp.take(occupied_cells, u), uniform_idx
+                )
                 lvl_indices.append(
                     jnp.concatenate([uniform_idx, occupied_idx])
                 )
