@@ -58,7 +58,7 @@ def throughput_phase():
     occ_state = estimator.set_binaries(occ_state, jnp.asarray(occ))
 
     encoder_type = os.environ.get("BENCH_ENCODER", "fused")
-    n_levels = int(os.environ.get("BENCH_LEVELS", "8"))
+    n_levels = int(os.environ.get("BENCH_LEVELS", "4"))
     n_feats = int(os.environ.get("BENCH_FEATS", "16"))
     log2_t = int(os.environ.get("BENCH_LOG2T", "18"))
     field = NGPRadianceField(
@@ -111,7 +111,7 @@ def throughput_phase():
                 stratified=True,
                 key=key,
                 sample_capacity=sample_capacity,
-                max_macro_segments=int(os.environ.get("BENCH_MACROK", "16")),
+                max_macro_segments=int(os.environ.get("BENCH_MACROK", "8")),
             )
             return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
 
@@ -206,7 +206,7 @@ def quality_phase(psnr_target: float):
     field = NGPRadianceField(
         aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
         encoder_type=os.environ.get("BENCH_ENCODER", "fused"),
-        n_levels=int(os.environ.get("BENCH_LEVELS", "8")),
+        n_levels=int(os.environ.get("BENCH_LEVELS", "4")),
         n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
         log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
     )

@@ -97,7 +97,9 @@ def main():
     p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused", "folded"])
     p.add_argument("--field", type=str, default="ngp", choices=["ngp", "tensorf", "kplanes"],
                    help="radiance field family (tensorf/kplanes = the reference's benchmark plug-ins)")
-    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--levels", type=int, default=None,
+                   help="hash-grid levels; 4 is the measured fast config "
+                        "(halves gather/scatter indices), 8 the default")
     p.add_argument("--feats", type=int, default=None)
     p.add_argument("--log2t", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
