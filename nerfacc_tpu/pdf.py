@@ -115,6 +115,7 @@ def importance_sampling(
     stratified: bool = False,
     key: Optional[jax.Array] = None,
     max_intervals_per_ray: Optional[int] = None,
+    max_edges_per_ray: Optional[int] = None,
 ) -> Tuple[RayIntervals, RaySamples]:
     """Inverse-transform resampling of intervals given CDF values at edges.
 
@@ -131,8 +132,70 @@ def importance_sampling(
     together with a *static* ``max_intervals_per_ray`` capacity; outputs are
     batched at the capacity with ``is_valid`` / ``is_left`` / ``is_right``
     masks (the static-shape analogue of the reference's flattened outputs).
+
+    Flat variant (the reference's flat RaySegments overload,
+    ``pdf.cu:294-356`` consumed via ``RayIntervals.packed_info``): pass flat
+    ``intervals``/``cdfs`` with ``packed_info`` plus a *static*
+    ``max_edges_per_ray`` bound on input edges per ray; returns flat
+    intervals/samples (every ray resampled to ``n`` intervals), so occ-grid
+    (flat) sampling composes with resampling without a manual re-layout.
     """
-    assert intervals.is_batched, "flat importance_sampling: use batched layout"
+    if not intervals.is_batched:
+        assert intervals.packed_info is not None, (
+            "flat importance_sampling needs packed_info"
+        )
+        assert isinstance(n_intervals_per_ray, int), (
+            "flat importance_sampling takes a static int count"
+        )
+        assert max_edges_per_ray is not None, (
+            "flat importance_sampling needs a static max_edges_per_ray"
+        )
+        starts = intervals.packed_info[:, 0]
+        cnts = intervals.packed_info[:, 1]
+        n_rays_f = starts.shape[0]
+        total = intervals.vals.shape[0]
+        j = jnp.arange(int(max_edges_per_ray), dtype=jnp.int32)
+        # Pad each ray's edge run by repeating its last edge: the padded
+        # cdf region is constant, so no resampled point lands there.
+        idx = starts[:, None] + jnp.minimum(
+            j[None, :], jnp.maximum(cnts[:, None] - 1, 0)
+        )
+        idx = jnp.clip(idx, 0, max(total - 1, 0))
+        vals_b = jnp.take(intervals.vals, idx.reshape(-1)).reshape(idx.shape)
+        cdfs_b = jnp.take(cdfs, idx.reshape(-1)).reshape(idx.shape)
+        iv_b, s_b = importance_sampling(
+            RayIntervals(vals=vals_b),
+            cdfs_b,
+            n_intervals_per_ray,
+            stratified=stratified,
+            key=key,
+        )
+        n = int(n_intervals_per_ray)
+        ray_ok = cnts >= 2  # a ray needs >= 2 edges to define intervals
+        edge_rows = jnp.arange(n_rays_f, dtype=jnp.int32)
+        iv_flat = RayIntervals(
+            vals=iv_b.vals.reshape(-1),
+            packed_info=jnp.stack(
+                [edge_rows * (n + 1), jnp.full_like(edge_rows, n + 1)], -1
+            ),
+            ray_indices=jnp.repeat(edge_rows, n + 1),
+            is_left=jnp.tile(
+                jnp.asarray([True] * n + [False]), n_rays_f
+            ) & jnp.repeat(ray_ok, n + 1),
+            is_right=jnp.tile(
+                jnp.asarray([False] + [True] * n), n_rays_f
+            ) & jnp.repeat(ray_ok, n + 1),
+        )
+        s_flat = RaySamples(
+            vals=s_b.vals.reshape(-1),
+            packed_info=jnp.stack(
+                [edge_rows * n, jnp.full_like(edge_rows, n)], -1
+            ),
+            ray_indices=jnp.repeat(edge_rows, n),
+            is_valid=jnp.repeat(ray_ok, n),
+        )
+        return iv_flat, s_flat
+
     vals = intervals.vals  # (n_rays, n_edges)
     n_rays = vals.shape[0]
 

@@ -155,3 +155,60 @@ def test_importance_sampling_per_ray_counts():
             np.testing.assert_allclose(
                 out_i.vals[r, : c + 1], i_scalar.vals[0], atol=1e-6
             )
+
+
+def test_importance_sampling_flat_layout():
+    """Flat (packed_info) overload must agree with the batched overload on
+    the shared real edges (reference flat RaySegments variant,
+    pdf.cu:294-356)."""
+    rng = np.random.default_rng(11)
+    n_rays, n = 5, 8
+    counts = np.array([6, 2, 9, 4, 7], np.int32)  # edges per ray (>=2)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    flat_vals, flat_cdfs = [], []
+    batched = []
+    E = int(counts.max())
+    for c in counts:
+        v = np.sort(rng.uniform(0, 4, c)).astype(np.float32)
+        cd = np.sort(rng.uniform(0, 1, c)).astype(np.float32)
+        cd[0], cd[-1] = 0.0, 1.0
+        flat_vals.append(v)
+        flat_cdfs.append(cd)
+        # batched representation pads by repeating the last edge
+        batched.append(
+            (
+                np.concatenate([v, np.full(E - c, v[-1], np.float32)]),
+                np.concatenate([cd, np.full(E - c, cd[-1], np.float32)]),
+            )
+        )
+    flat = RayIntervals(
+        vals=jnp.asarray(np.concatenate(flat_vals)),
+        packed_info=jnp.asarray(np.stack([starts, counts], -1)),
+    )
+    iv_f, s_f = importance_sampling(
+        flat, jnp.asarray(np.concatenate(flat_cdfs)), n,
+        max_edges_per_ray=E,
+    )
+    bv = jnp.asarray(np.stack([b[0] for b in batched]))
+    bc = jnp.asarray(np.stack([b[1] for b in batched]))
+    iv_b, s_b = importance_sampling(RayIntervals(vals=bv), bc, n)
+
+    assert iv_f.vals.shape == (n_rays * (n + 1),)
+    assert s_f.vals.shape == (n_rays * n,)
+    np.testing.assert_allclose(
+        np.asarray(s_f.vals).reshape(n_rays, n),
+        np.asarray(s_b.vals), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(iv_f.vals).reshape(n_rays, n + 1),
+        np.asarray(iv_b.vals), rtol=1e-6,
+    )
+    # masks: every ray here has >= 2 edges -> all samples valid
+    assert bool(s_f.is_valid.all())
+    il = np.asarray(iv_f.is_left).reshape(n_rays, n + 1)
+    ir = np.asarray(iv_f.is_right).reshape(n_rays, n + 1)
+    assert il[:, :-1].all() and not il[:, -1].any()
+    assert ir[:, 1:].all() and not ir[:, 0].any()
+    # packed_info round-trips
+    pi = np.asarray(s_f.packed_info)
+    assert (pi[:, 1] == n).all() and (np.diff(pi[:, 0]) == n).all()
