@@ -33,6 +33,8 @@ def main():
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--chunk", type=int, default=4096)
+    p.add_argument("--max_samples", type=int, default=1024,
+                   help="per-ray sample budget for the iterative renderer")
     p.add_argument("--encoder", type=str, default="fused")
     args = p.parse_args()
 
@@ -101,7 +103,7 @@ def main():
                 occ_state,
                 oc,
                 dc,
-                max_samples=1024,
+                max_samples=args.max_samples,
                 samples_per_round=32,
                 near_plane=test_ds.near,
                 far_plane=test_ds.far,

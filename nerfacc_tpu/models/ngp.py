@@ -51,6 +51,22 @@ def _trunc_exp_bwd(x, g):
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
 
 
+def contract_tanh(x: Array, aabb: Array) -> Array:
+    """Per-axis tanh contraction to [0,1]^3; the roi maps to
+    [~0.27, ~0.73]^3 (``utils_contraction.cuh:33-61`` UN_BOUNDED_TANH;
+    inverse = atanh, see :func:`contract_tanh_inv`)."""
+    aabb_min, aabb_max = aabb[..., :3], aabb[..., 3:]
+    u = (x - aabb_min) / (aabb_max - aabb_min) - 0.5
+    return jnp.tanh(u) * 0.5 + 0.5
+
+
+def contract_tanh_inv(x: Array, aabb: Array) -> Array:
+    """Inverse of :func:`contract_tanh` (``utils_contraction.cuh:45-61``)."""
+    aabb_min, aabb_max = aabb[..., :3], aabb[..., 3:]
+    u = jnp.arctanh(jnp.clip(x * 2.0 - 1.0, -1.0 + 1e-7, 1.0 - 1e-7))
+    return (u + 0.5) * (aabb_max - aabb_min) + aabb_min
+
+
 def contract_to_unisphere(
     x: Array, aabb: Array, ord: Union[str, int] = 2, eps: float = 1e-6
 ) -> Array:

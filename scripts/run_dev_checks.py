@@ -49,17 +49,29 @@ def main():
 
     # 4. CLI smokes
     if not args.fast:
-        for script in [
-            "examples/train_mlp_nerf.py",
-            "examples/train_ngp_nerf_occ.py",
-            "examples/train_ngp_nerf_prop.py",
-            "examples/train_mlp_tnerf.py",
-            "examples/train_barf.py",
-        ]:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            ckpt = f"{tmp}/ngp_ckpt"
+            for script, extra in [
+                ("examples/train_mlp_nerf.py", []),
+                ("examples/train_ngp_nerf_occ.py", ["--model_path", ckpt]),
+                ("examples/train_ngp_nerf_prop.py", []),
+                ("examples/train_mlp_tnerf.py", []),
+                ("examples/train_barf.py", []),
+            ]:
+                if run(
+                    [sys.executable, script, "--smoke", "--cpu",
+                     "--max_steps", "30"] + extra
+                ) != 0:
+                    failures.append(f"smoke: {script}")
+            # inference renderer from the saved orbax checkpoint
             if run(
-                [sys.executable, script, "--smoke", "--cpu", "--max_steps", "30"]
+                [sys.executable, "examples/render.py", "--cpu",
+                 "--model_path", ckpt, "--chunk", "4608",
+                 "--max_samples", "128"]
             ) != 0:
-                failures.append(f"smoke: {script}")
+                failures.append("smoke: examples/render.py")
 
     if failures:
         print("FAILED:", failures)

@@ -244,3 +244,34 @@ def test_tineuvox_field():
 def float_loss(field, p, x, t, d):
     rgb, sigma = field.apply(p, x, t, d)
     return (rgb**2).sum() + (sigma**2).sum()
+
+
+def test_contract_tanh_roundtrip():
+    """UN_BOUNDED_TANH contraction (utils_contraction.cuh:33-61): range,
+    roi image, and inverse round-trip."""
+    from nerfacc_tpu.models.ngp import contract_tanh, contract_tanh_inv
+
+    aabb = jnp.asarray([-1.0, -2.0, -1.0, 1.0, 2.0, 3.0])
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(500, 3)).astype(np.float32) * 4
+    )
+    u = contract_tanh(x, aabb)
+    assert float(u.min()) > 0.0 and float(u.max()) < 1.0
+    # roi corners map to tanh(+-0.5)/2 + 0.5
+    lo = contract_tanh(aabb[:3][None], aabb)
+    hi = contract_tanh(aabb[3:][None], aabb)
+    np.testing.assert_allclose(
+        np.asarray(lo)[0], [0.5 - np.tanh(0.5) / 2] * 3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(hi)[0], [0.5 + np.tanh(0.5) / 2] * 3, atol=1e-6
+    )
+    # round-trip where tanh hasn't saturated in f32 (|unit coord| < 3)
+    xm = jnp.asarray(
+        np.random.default_rng(1).uniform(-1.5, 1.5, (500, 3)).astype(
+            np.float32
+        )
+    )
+    back = contract_tanh_inv(contract_tanh(xm, aabb), aabb)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(xm), rtol=1e-3,
+                               atol=1e-3)
