@@ -36,6 +36,9 @@ def main():
     p.add_argument("--max_samples", type=int, default=1024,
                    help="per-ray sample budget for the iterative renderer")
     p.add_argument("--encoder", type=str, default="fused")
+    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--feats", type=int, default=None)
+    p.add_argument("--log2t", type=int, default=None)
     args = p.parse_args()
 
     if args.cpu:
@@ -65,13 +68,13 @@ def main():
     aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
     levels, res = occ_state.binaries.shape[0], occ_state.binaries.shape[1]
     estimator = OccGridEstimator(roi_aabb=aabb, resolution=res, levels=levels)
-    fused = args.encoder == "fused"
+    fused = args.encoder in ("fused", "folded")
     field = NGPRadianceField(
         aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
         encoder_type=args.encoder,
-        n_levels=8 if fused else 16,
-        n_features_per_level=16 if fused else 2,
-        log2_hashmap_size=18 if fused else 19,
+        n_levels=args.levels or (8 if fused else 16),
+        n_features_per_level=args.feats or (16 if fused else 2),
+        log2_hashmap_size=args.log2t or (18 if fused else 19),
     )
 
     def builder(rays_o, rays_d):

@@ -8,6 +8,11 @@ its signature and docstring summary.
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import inspect
 import pathlib
 
