@@ -39,6 +39,9 @@ def main():
     p.add_argument("--levels", type=int, default=None)
     p.add_argument("--feats", type=int, default=None)
     p.add_argument("--log2t", type=int, default=None)
+    p.add_argument("--repeat", type=int, default=1,
+                   help="render the test set N times; the last pass is "
+                        "timed separately (steady-state, post-compile)")
     args = p.parse_args()
 
     if args.cpu:
@@ -85,9 +88,7 @@ def main():
 
         return rgb_sigma_fn
 
-    timer = Timer()
-    psnrs = []
-    for i in range(len(test_ds)):
+    def render_view(i):
         batch = test_ds[i]
         rays = batch["rays"]
         h, w = rays.origins.shape[:2]
@@ -116,18 +117,35 @@ def main():
             total += n_s
             imgs.append(rgb[: args.chunk - pad if pad else args.chunk])
         img = jnp.concatenate(imgs).reshape(h, w, 3)
-        p_ = psnr(img, batch["pixels"])
-        psnrs.append(p_)
-        print(f"view {i}: PSNR {p_:.2f}, {total} samples")
-        if args.out:
-            import imageio.v2 as imageio
+        return img, batch, total
 
-            Path(args.out).mkdir(parents=True, exist_ok=True)
-            imageio.imwrite(
-                f"{args.out}/view_{i}.png",
-                (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8),
-            )
-    print(f"mean PSNR {np.mean(psnrs):.2f} in {timer.elapsed():.1f}s")
+    timer = Timer()
+    psnrs = []
+    n_pix = 0
+    for rep in range(args.repeat):
+        if rep == args.repeat - 1:
+            timer = Timer()  # steady-state window (graphs compiled)
+            psnrs, n_pix = [], 0
+        for i in range(len(test_ds)):
+            img, batch, total = render_view(i)
+            p_ = psnr(img, batch["pixels"])
+            psnrs.append(p_)
+            n_pix += img.shape[0] * img.shape[1]
+            print(f"view {i}: PSNR {p_:.2f}, {total} samples")
+            if args.out and rep == args.repeat - 1:
+                import imageio.v2 as imageio
+
+                Path(args.out).mkdir(parents=True, exist_ok=True)
+                imageio.imwrite(
+                    f"{args.out}/view_{i}.png",
+                    (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8),
+                )
+    dt = timer.elapsed()
+    print(
+        f"mean PSNR {np.mean(psnrs):.2f} in {dt:.1f}s "
+        f"({n_pix / max(dt, 1e-9):.0f} rays/s"
+        f"{' steady-state' if args.repeat > 1 else ''})"
+    )
 
 
 if __name__ == "__main__":
