@@ -206,7 +206,7 @@ def _query_dispatch(
     if levels == 1:
         return occupancy_query_pallas(
             packed[0], base_aabb, px, py, pz,
-            resolution=res, tm=128, interpret=interpret,
+            resolution=res, tm=256, interpret=interpret,
         )
 
     # Mip selection (same math as _query_soa).
@@ -227,7 +227,7 @@ def _query_dispatch(
         )
         occ_l = occupancy_query_pallas(
             packed[lvl], aabb_l, px, py, pz,
-            resolution=res, tm=128, interpret=interpret,
+            resolution=res, tm=256, interpret=interpret,
         )
         # Level lvl answers for points whose mip is in [lvl - mip_pad, lvl]
         # (mip_pad > 0 = the conservative union used by macro-skip probes).
@@ -347,15 +347,24 @@ class TraversalResults(NamedTuple):
 
 
 class CompactSamples(NamedTuple):
-    """Flat compacted samples straight from the traversal lattice."""
+    """Flat compacted samples straight from the traversal lattice.
 
-    ray_indices: Array  # (capacity,) int32
+    ``ray_indices`` is globally sorted (ascending; capacity padding decodes
+    to the last ray with ``kept=False``), and ``seg_starts``/``seg_counts``
+    give each ray's chunk-aligned slot range — consumers can therefore
+    accumulate per-ray sums with a cumulative sum + two boundary gathers
+    instead of a scatter-add (see ``volrend.rendering(seg_bounds=...)``).
+    """
+
+    ray_indices: Array  # (capacity,) int32, sorted ascending
     t_starts: Array  # (capacity,)
     t_ends: Array  # (capacity,)
     kept: Array  # (capacity,) bool
     num_valid: Array  # (n_rays,)
     termination_planes: Array  # (n_rays,)
     far_effective: Array  # (n_rays,)
+    seg_starts: Array  # (n_rays,) int32 first slot of each ray's samples
+    seg_counts: Array  # (n_rays,) int32 slots spanned (chunk-aligned)
 
 
 def traverse_and_compact(
@@ -558,8 +567,11 @@ def traverse_and_compact(
         jnp.arange(n_rays, dtype=jnp.int32)[:, None], (n_rays, nch)
     )
     packed = (rows_ch << (bits_p + C)) | (base_lat << C) | vbits
+    # Padding decodes to (last ray, clamped lattice end, no valid bits):
+    # kept=False, t_start==t_end, and ray_indices stays globally sorted.
+    fill_packed = ((n_rays - 1) << (bits_p + C)) | (max_lattice_steps << C)
     inv = (
-        jnp.zeros((cap_c,), jnp.int32)
+        jnp.full((cap_c,), fill_packed, jnp.int32)
         .at[slot.reshape(-1)]
         .set(packed.reshape(-1), mode="drop")
     )
@@ -591,6 +603,10 @@ def traverse_and_compact(
         examined = jnp.minimum(examined, examined_end)
     term = jnp.where(hit_cap, last_end, jnp.maximum(examined, near))
 
+    # Per-ray slot ranges in sample units (chunk-aligned; rays whose chunks
+    # overflowed the capacity are clamped — those samples were dropped).
+    seg_lo_c = jnp.minimum(ccum0, cap_c)
+    seg_hi_c = jnp.minimum(ccum0 + ccounts, cap_c)
     return CompactSamples(
         ray_indices=r,
         t_starts=t_starts,
@@ -599,6 +615,8 @@ def traverse_and_compact(
         num_valid=counts,
         termination_planes=term,
         far_effective=far,
+        seg_starts=seg_lo_c * C,
+        seg_counts=(seg_hi_c - seg_lo_c) * C,
     )
 
 

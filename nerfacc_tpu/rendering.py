@@ -110,6 +110,7 @@ def occgrid_render_rays(
     t_starts = cs.t_starts
     t_ends = cs.t_ends
     kept = cs.kept
+    seg_bounds = (cs.seg_starts, cs.seg_counts)
 
     # 3. Optional visibility filtering by querying the cheap density head
     #    (occ_grid.py:180-220 semantics, on the compacted layout).
@@ -160,6 +161,9 @@ def occgrid_render_rays(
             t_ends = jnp.take(t_ends, src)
             kept = jnp.arange(refilter_capacity, dtype=jnp.int32) < total2
             t_ends = jnp.where(kept, t_ends, t_starts)
+            # Re-compacted layout: per-ray slot ranges shifted; the padding
+            # tail also decodes to ray 0 here, breaking sortedness.
+            seg_bounds = None
 
     # 4. Differentiable rendering on the compacted flat layout.
     colors, opacities, depths, extras = rendering(
@@ -170,6 +174,7 @@ def occgrid_render_rays(
         rgb_sigma_fn=rgb_sigma_fn,
         render_bkgd=render_bkgd,
         is_valid=kept,
+        seg_bounds=seg_bounds,
     )
     n_rendering_samples = jnp.sum(kept.astype(jnp.int32))
     extras = dict(extras)

@@ -180,6 +180,26 @@ def accumulate_along_rays(
     return jnp.sum(src, axis=-2)
 
 
+def _accumulate_sorted(
+    src: Array, seg_starts: Array, seg_counts: Array
+) -> Array:
+    """Per-ray sums of ``src (capacity, k)`` whose rows are grouped by ray in
+    slot ranges ``[seg_starts, seg_starts + seg_counts)`` (sorted layout from
+    :func:`~nerfacc_tpu.grid.traverse_and_compact`).
+
+    One cumulative sum + two boundary gathers (n_rays indices) replace the
+    ``segment_sum`` scatter-add (capacity indices) — scatter-adds cost
+    ~8-20 ns *per index* on v5e, so for 2^18 samples over 8k rays this turns
+    ~5 ms of scatter into ~0.3 ms of vector scan.  Differentiable by
+    autodiff (cumsum VJP = reversed cumsum; gather VJP = n_rays-row scatter).
+    """
+    csum = jnp.cumsum(src, axis=0)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)
+    return jnp.take(csum, seg_starts + seg_counts, axis=0) - jnp.take(
+        csum, seg_starts, axis=0
+    )
+
+
 def rendering(
     t_starts: Array,
     t_ends: Array,
@@ -190,6 +210,7 @@ def rendering(
     render_bkgd: Optional[Array] = None,
     is_valid: Optional[Array] = None,
     expected_depth: bool = True,
+    seg_bounds: Optional[Tuple[Array, Array]] = None,
 ) -> Tuple[Array, Array, Array, Dict]:
     """Volume rendering orchestrator.  See ``nerfacc/volrend.py:14-158``.
 
@@ -199,6 +220,12 @@ def rendering(
     at invalid slots are zeroed (for well-formed inputs with
     ``t_start == t_end`` at padding this is redundant for the sigma path but
     required for the alpha path).
+
+    ``seg_bounds = (seg_starts, seg_counts)`` may be passed when the flat
+    samples are grouped by ray (sorted — e.g. straight from
+    :func:`~nerfacc_tpu.grid.traverse_and_compact`); the three per-ray
+    accumulations then run as one fused cumsum + boundary gathers instead of
+    three scatter-adds (see :func:`_accumulate_sorted`).
 
     Returns ``(colors (n_rays,3), opacities (n_rays,1), depths (n_rays,1),
     extras)``.
@@ -244,18 +271,32 @@ def rendering(
             "alphas": alphas,
         }
 
-    colors = accumulate_along_rays(
-        weights, values=rgbs, ray_indices=ray_indices, n_rays=n_rays
-    )
-    opacities = accumulate_along_rays(
-        weights, values=None, ray_indices=ray_indices, n_rays=n_rays
-    )
-    depths = accumulate_along_rays(
-        weights,
-        values=((t_starts + t_ends) / 2.0)[..., None],
-        ray_indices=ray_indices,
-        n_rays=n_rays,
-    )
+    if seg_bounds is not None and ray_indices is not None:
+        src = jnp.concatenate(
+            [
+                weights[:, None] * rgbs,
+                weights[:, None],
+                (weights * (t_starts + t_ends) / 2.0)[:, None],
+            ],
+            axis=-1,
+        )  # (capacity, 5)
+        acc = _accumulate_sorted(src, *seg_bounds)
+        colors = acc[:, 0:3]
+        opacities = acc[:, 3:4]
+        depths = acc[:, 4:5]
+    else:
+        colors = accumulate_along_rays(
+            weights, values=rgbs, ray_indices=ray_indices, n_rays=n_rays
+        )
+        opacities = accumulate_along_rays(
+            weights, values=None, ray_indices=ray_indices, n_rays=n_rays
+        )
+        depths = accumulate_along_rays(
+            weights,
+            values=((t_starts + t_ends) / 2.0)[..., None],
+            ray_indices=ray_indices,
+            n_rays=n_rays,
+        )
     if expected_depth:
         depths = depths / jnp.clip(opacities, min=jnp.finfo(rgbs.dtype).eps)
 

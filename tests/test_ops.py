@@ -146,3 +146,70 @@ def test_multilevel_dispatch_matches():
     want, _ = _query_soa(px, py, pz, binaries, base)
     got = _query_dispatch(px, py, pz, binaries, base, packed, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sorted_seg_bounds_accumulation_matches_segment_sum():
+    """CompactSamples.seg_starts/seg_counts + the rendering(seg_bounds=...)
+    cumsum path must reproduce the segment_sum path exactly — outputs AND
+    gradients — and ray_indices must be globally sorted (padding included)."""
+    from nerfacc_tpu.volrend import rendering
+
+    est = OccGridEstimator(roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=64,
+                           levels=1, skip_factor=2)
+    state = est.set_binaries(est.init(), _shell_binaries(64)[None])
+
+    rng = np.random.default_rng(7)
+    n_rays = 96
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-2.5 * d)
+    rays_d = jnp.asarray(d)
+
+    cs = traverse_and_compact(
+        rays_o, rays_d, state.binaries, state.aabbs, 4096,
+        near_planes=jnp.zeros((n_rays,)),
+        step_size=1e-2,
+        traverse_steps_limit=128,
+        max_lattice_steps=512,
+        skip_grid=state.skip_grid,
+        macro_stride=16,
+        max_macro_segments=8,
+    )
+    ri = np.asarray(cs.ray_indices)
+    assert (np.diff(ri) >= 0).all(), "ray_indices must be sorted incl. padding"
+    # seg bounds cover exactly the slots carrying each ray's samples
+    starts, counts = np.asarray(cs.seg_starts), np.asarray(cs.seg_counts)
+    kept = np.asarray(cs.kept)
+    for ray in np.unique(ri[kept]):
+        sl = np.flatnonzero(kept & (ri == ray))
+        assert starts[ray] <= sl.min() and sl.max() < starts[ray] + counts[ray]
+
+    theta = jnp.asarray(0.7)
+
+    def render(th, seg_bounds):
+        def rgb_sigma_fn(t0, t1, rix):
+            mid = (t0 + t1) / 2
+            rgb = jnp.stack([jnp.sin(mid * th), jnp.cos(mid), mid * 0 + 0.5],
+                            axis=-1)
+            sigma = 30.0 * jnp.exp(-mid * th)
+            return rgb, sigma
+
+        c, o, dep, _ = rendering(
+            cs.t_starts, cs.t_ends, ray_indices=cs.ray_indices,
+            n_rays=n_rays, rgb_sigma_fn=rgb_sigma_fn,
+            render_bkgd=jnp.ones(3), is_valid=cs.kept,
+            seg_bounds=seg_bounds,
+        )
+        return c, o, dep
+
+    c0, o0, d0 = render(theta, None)
+    c1, o1, d1 = render(theta, (cs.seg_starts, cs.seg_counts))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+
+    g0 = jax.grad(lambda th: render(th, None)[0].sum())(theta)
+    g1 = jax.grad(
+        lambda th: render(th, (cs.seg_starts, cs.seg_counts))[0].sum()
+    )(theta)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4)
