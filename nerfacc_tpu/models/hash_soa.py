@@ -27,6 +27,36 @@ Array = jnp.ndarray
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def grid_resolutions(
+    n_levels: int, base_resolution: int, max_resolution: int
+):
+    """tcnn geometric level resolutions (``ngp.py:99-129`` growth rule)."""
+    if n_levels == 1:
+        return [base_resolution]
+    growth = np.exp(
+        (np.log(max_resolution) - np.log(base_resolution)) / (n_levels - 1)
+    )
+    return [
+        int(np.floor(base_resolution * growth**l)) for l in range(n_levels)
+    ]
+
+
+def paired_safe_level_count(
+    resolutions, span: float, chunk: int = 4, margin: float = 2.0
+) -> int:
+    """Number of coarsest levels whose cell size exceeds
+    ``margin * chunk * span`` (``span`` = per-sample spacing in the
+    encoder's [0,1] input coords) — the levels safe for chunk-paired
+    gathers (see :meth:`HashGridEncoderFused.__call__`)."""
+    p = 0
+    for r in resolutions:
+        if 1.0 / r > margin * chunk * span:
+            p += 1
+        else:
+            break
+    return p
+
+
 class HashGridEncoderSoA(nn.Module):
     """Drop-in replacement for ``HashGridEncoder`` (same param count and
     semantics; table layout ``(F, L*T)`` instead of ``(L*T, F)``)."""
@@ -170,7 +200,32 @@ class HashGridEncoderFused(nn.Module):
         ]
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(
+        self, x: Array, paired_levels: int = 0, pair_chunk: int = 4
+    ) -> Array:
+        """``paired_levels > 0`` enables chunk-paired coarse encoding: the
+        caller promises that each aligned run of ``pair_chunk`` consecutive
+        samples is one straight in-order ray segment much shorter than the
+        paired (coarsest) levels' cell size (see
+        :func:`paired_safe_level_count`; :func:`traverse_and_compact` emits
+        exactly such chunks).  Those levels are evaluated only at each
+        chunk's first/last sample — half the gather indices at
+        ``pair_chunk=4``, the dominant encoder cost on v5e — and interior
+        samples linearly interpolate the two endpoint feature vectors along
+        the chord (projection weight: exact for collinear points with any
+        spacing).  Error is secant-small while a chunk stays inside one
+        cell, and bounded by the feature scale for chunks straddling a cell
+        boundary (the corner-fused layout is already discontinuous across
+        cells).
+
+        Measured design note (v5e, n=262k, L4F16): pairing wins ONLY in the
+        forward pass (-25% with 2 paired levels); the backward's extra
+        passes over ``(n, F=16)``-minor tensors (8x tile padding) cost ~4 ms
+        more than the halved table-scatter saves, so training paths should
+        keep ``paired_levels=0``.  Two alternative formulations measured
+        worse: endpoint-select on full-width rows (lane-strided selects,
+        ~100x pathological), and anchor-cell row broadcast (breaks the
+        P0 graph's fusion, +4 ms per paired level in BOTH directions)."""
         T = 1 << self.log2_hashmap_size
         L, F = self.n_levels, self.n_features_per_level
         resolutions = self._resolutions()
@@ -186,56 +241,106 @@ class HashGridEncoderFused(nn.Module):
         ys = x[..., 1].reshape(n)
         zs = x[..., 2].reshape(n)
 
-        res = jnp.asarray(resolutions, x.dtype)[:, None]
-        xl = xs[None, :] * res
-        yl = ys[None, :] * res
-        zl = zs[None, :] * res
-        c0x = jnp.floor(xl)
-        c0y = jnp.floor(yl)
-        c0z = jnp.floor(zl)
-        wx = xl - c0x
-        wy = yl - c0y
-        wz = zl - c0z
-        cx = c0x.astype(jnp.int32)
-        cy = c0y.astype(jnp.int32)
-        cz = c0z.astype(jnp.int32)
+        def encode_levels(res_list, lvl0, xs_, ys_, zs_):
+            """Per-level trilinear hash encode of points ``(m,)`` for levels
+            ``lvl0 .. lvl0+k``; returns ``(k, m, F)`` (the P=0 math, on a
+            level/point subset)."""
+            k = len(res_list)
+            m = xs_.shape[0]
+            res = jnp.asarray(res_list, x.dtype)[:, None]
+            xl = xs_[None, :] * res
+            yl = ys_[None, :] * res
+            zl = zs_[None, :] * res
+            c0x = jnp.floor(xl)
+            c0y = jnp.floor(yl)
+            c0z = jnp.floor(zl)
+            cx = c0x.astype(jnp.int32)
+            cy = c0y.astype(jnp.int32)
+            cz = c0z.astype(jnp.int32)
+            wx = xl - c0x
+            wy = yl - c0y
+            wz = zl - c0z
 
-        res_i = jnp.asarray(resolutions, jnp.int32)[:, None]
-        n_dense = res_i**3
-        use_dense = n_dense <= T
-        level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]
+            res_i = jnp.asarray(res_list, jnp.int32)[:, None]
+            use_dense = res_i**3 <= T
+            level_offset = (
+                (lvl0 + jnp.arange(k, dtype=jnp.int32)) * T
+            )[:, None]
+            dense_idx = (cx * res_i + cy) * res_i + cz
+            h = (
+                (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+                ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+                ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+            ) & jnp.uint32(T - 1)
+            idx = jnp.where(
+                use_dense, dense_idx & (T - 1), h.astype(jnp.int32)
+            )
+            idx = (idx + level_offset).reshape(-1)  # (k*m,)
+            g = jnp.take(table, idx, axis=0)  # (k*m, 8F)
 
-        dense_idx = (cx * res_i + cy) * res_i + cz
-        h = (
-            (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
-            ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
-            ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
-        ) & jnp.uint32(T - 1)
-        idx = jnp.where(use_dense, dense_idx & (T - 1), h.astype(jnp.int32))
-        idx = (idx + level_offset).reshape(-1)  # (L*n,)
+            # Trilinear combine: weights (k, m) per corner, applied to the
+            # row-gathered features via a batched (1,8)x(8,F) contraction.
+            w = jnp.stack(
+                [
+                    (wx if dx else 1.0 - wx)
+                    * (wy if dy else 1.0 - wy)
+                    * (wz if dz else 1.0 - wz)
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                    for dz in (0, 1)
+                ],
+                axis=-1,
+            )  # (k, m, 8)
+            out = jnp.einsum(
+                "kc,kcf->kf",
+                w.reshape(k * m, 8),
+                g.reshape(k * m, 8, F),
+            )  # (k*m, F)
+            return out.reshape(k, m, F)
 
-        g = jnp.take(table, idx, axis=0)  # (L*n, 8F)
+        P = int(paired_levels)
+        if P > 0 and (n % pair_chunk != 0 or P > L):
+            P = 0
+        if P:
+            C = pair_chunk
+            nc = n // C
 
-        # Trilinear combine: weights (L, n) per corner, applied to the
-        # row-gathered features via a batched (1,8)x(8,F) contraction.
-        w = jnp.stack(
-            [
-                (wx if dx else 1.0 - wx)
-                * (wy if dy else 1.0 - wy)
-                * (wz if dz else 1.0 - wz)
-                for dx in (0, 1)
-                for dy in (0, 1)
-                for dz in (0, 1)
-            ],
-            axis=-1,
-        )  # (L, n, 8)
-        out = jnp.einsum(
-            "kc,kcf->kf",
-            w.reshape(L * n, 8),
-            g.reshape(L * n, 8, F),
-        )  # (L*n, F)
+            def endpoints(a):  # (n,) -> (2*nc,) [chunk firsts; chunk lasts]
+                a2 = a.reshape(nc, C)
+                return jnp.concatenate([a2[:, 0], a2[:, C - 1]], axis=0)
 
-        out = jnp.transpose(out.reshape(L, n, F), (1, 0, 2))  # (n, L, F)
+            xe, ye, ze = endpoints(xs), endpoints(ys), endpoints(zs)
+            oe = encode_levels(resolutions[:P], 0, xe, ye, ze)  # (P, 2nc, F)
+
+            def chunk_bcast(a):  # (nc,) -> (n,)
+                return jnp.broadcast_to(a[:, None], (nc, C)).reshape(n)
+
+            # Per-sample chord projection u in [0, 1] (exact for collinear
+            # chunk points; degenerate chords collapse to the first point).
+            dx0 = xs - chunk_bcast(xe[:nc])
+            dy0 = ys - chunk_bcast(ye[:nc])
+            dz0 = zs - chunk_bcast(ze[:nc])
+            cxv = chunk_bcast(xe[nc:] - xe[:nc])
+            cyv = chunk_bcast(ye[nc:] - ye[:nc])
+            czv = chunk_bcast(ze[nc:] - ze[:nc])
+            den = cxv * cxv + cyv * cyv + czv * czv
+            u = (dx0 * cxv + dy0 * cyv + dz0 * czv) / jnp.maximum(den, 1e-12)
+            u = jnp.clip(u, 0.0, 1.0)
+
+            ff = jnp.broadcast_to(
+                oe[:, :nc, None, :], (P, nc, C, F)
+            ).reshape(P, n, F)
+            fl = jnp.broadcast_to(
+                oe[:, nc:, None, :], (P, nc, C, F)
+            ).reshape(P, n, F)
+            out_p = ff + (fl - ff) * u[None, :, None]  # (P, n, F)
+
+            out_rest = encode_levels(resolutions[P:], P, xs, ys, zs)
+            out = jnp.concatenate([out_p, out_rest], axis=0)  # (L, n, F)
+        else:
+            out = encode_levels(resolutions, 0, xs, ys, zs)
+
+        out = jnp.transpose(out, (1, 0, 2))  # (n, L, F)
         return out.reshape(batch_shape + (L * F,))
 
 

@@ -136,14 +136,41 @@ class NGPRadianceField(nn.Module):
     def _density_activation(self, x: Array) -> Array:
         return trunc_exp(x - 1)
 
-    def query_density(self, x: Array, return_feat: bool = False):
+    def paired_safe_levels(
+        self, step_size: float, chunk: int = 4, margin: float = 2.0
+    ) -> int:
+        """Coarsest-level count safe for the fused encoder's chunk-paired
+        gathers given a world-space marching ``step_size`` (0 for encoders
+        without the optimization).  See
+        :meth:`HashGridEncoderFused.paired_safe_levels`."""
+        if self.encoder_type != "fused":
+            return 0
+        from .hash_soa import grid_resolutions, paired_safe_level_count
+
+        aabb = np.asarray(self.aabb, np.float32)
+        span = float(step_size / (aabb[3:] - aabb[:3]).min())
+        return paired_safe_level_count(
+            grid_resolutions(
+                self.n_levels, self.base_resolution, self.max_resolution
+            ),
+            span,
+            chunk=chunk,
+            margin=margin,
+        )
+
+    def query_density(
+        self, x: Array, return_feat: bool = False, paired_levels: int = 0
+    ):
         aabb = jnp.asarray(self.aabb, jnp.float32)
         if self.unbounded:
             u = contract_to_unisphere(x, aabb)
         else:
             u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
         selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
-        h = self.encoder(u)
+        if paired_levels and self.encoder_type == "fused":
+            h = self.encoder(u, paired_levels=paired_levels)
+        else:
+            h = self.encoder(u)
         h = self.mlp_base(h)
         density_before, feat = h[..., :1], h[..., 1:]
         density = (
@@ -161,8 +188,15 @@ class NGPRadianceField(nn.Module):
             h = embedding
         return nn.sigmoid(self.mlp_head(h))
 
-    def __call__(self, positions: Array, directions: Optional[Array] = None):
-        density, embedding = self.query_density(positions, return_feat=True)
+    def __call__(
+        self,
+        positions: Array,
+        directions: Optional[Array] = None,
+        paired_levels: int = 0,
+    ):
+        density, embedding = self.query_density(
+            positions, return_feat=True, paired_levels=paired_levels
+        )
         rgb = self._query_rgb(directions, embedding)
         return rgb, density
 

@@ -85,6 +85,14 @@ def main():
     tx = optax.adam(1e-2, eps=1e-15)
     opt0 = tx.init(params)
 
+    paired = os.environ.get("PROF_PAIRED", "0")
+    paired = (
+        field.paired_safe_levels(step_size, margin=1.0)
+        if paired == "auto"
+        else int(paired)
+    )
+    print(f"paired coarse levels: {paired}", flush=True)
+
     d = rng.normal(size=(n_rays, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rays_o = jnp.asarray(-3.0 * d)
@@ -131,14 +139,16 @@ def main():
 
     def t_sigma(ri, ts, te):
         x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-        return field.apply(params, x, method="query_density").sum()
+        return field.apply(
+            params, x, paired_levels=paired, method="query_density"
+        ).sum()
 
     timeit("field sigma fwd", t_sigma, mk_samples)
 
     def t_field_bwd(ri, ts, te):
         def loss(pp):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            rgb, s = field.apply(pp, x, rays_d[ri])
+            rgb, s = field.apply(pp, x, rays_d[ri], paired_levels=paired)
             return (rgb * ts[:, None]).sum() + s.sum()
 
         l, grads = jax.value_and_grad(loss)(params)
@@ -150,7 +160,7 @@ def main():
         def loss(pp):
             def rgb_sigma_fn(t0, t1, rix):
                 x = rays_o[rix] + ((t0 + t1) / 2)[:, None] * rays_d[rix]
-                rgb, s = field.apply(pp, x, rays_d[rix])
+                rgb, s = field.apply(pp, x, rays_d[rix], paired_levels=paired)
                 return rgb, s[..., 0]
 
             c, _, _, _ = rendering(
@@ -179,11 +189,13 @@ def main():
         def loss_fn(pp):
             def sigma_fn(t0, t1, rix):
                 x = rays_o[rix] + ((t0 + t1) / 2)[:, None] * rays_d[rix]
-                return field.apply(pp, x, method="query_density")[..., 0]
+                return field.apply(
+                    pp, x, paired_levels=paired, method="query_density"
+                )[..., 0]
 
             def rgb_sigma_fn(t0, t1, rix):
                 x = rays_o[rix] + ((t0 + t1) / 2)[:, None] * rays_d[rix]
-                rgb, s = field.apply(pp, x, rays_d[rix])
+                rgb, s = field.apply(pp, x, rays_d[rix], paired_levels=paired)
                 return rgb, s[..., 0]
 
             c, _, _, n, _ = occgrid_render_rays(

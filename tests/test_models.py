@@ -275,3 +275,63 @@ def test_contract_tanh_roundtrip():
     back = contract_tanh_inv(contract_tanh(xm, aabb), aabb)
     np.testing.assert_allclose(np.asarray(back), np.asarray(xm), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_fused_paired_levels_lerp():
+    """Chunk-paired coarse encoding (endpoint-feature lerp): unpaired levels
+    bit-exact, chunk endpoints exact, interior samples secant-close for
+    chunks inside one cell / bounded by the feature scale for straddling
+    chunks, and a misaligned batch silently falls back to the exact path."""
+    from nerfacc_tpu.models.hash_soa import (
+        grid_resolutions,
+        paired_safe_level_count,
+    )
+
+    F, C, step = 8, 4, 1e-3
+    enc = HashGridEncoderFused(
+        n_levels=4, n_features_per_level=F, log2_hashmap_size=12,
+        max_resolution=1024,
+    )
+    rng = np.random.default_rng(3)
+    o = rng.uniform(0.3, 0.7, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = step * np.arange(C, dtype=np.float32)
+    x = jnp.asarray(
+        (o[:, None, :] + t[None, :, None] * d[:, None, :]).reshape(-1, 3)
+    )
+    params = enc.init(jax.random.PRNGKey(0), x[:8])
+
+    res = grid_resolutions(4, 16, 1024)
+    P = paired_safe_level_count(res, step * C, chunk=1, margin=2.0)
+    assert P >= 1
+
+    y0 = np.asarray(enc.apply(params, x, paired_levels=0))
+    yp = np.asarray(enc.apply(params, x, paired_levels=P))
+    # Unpaired levels bit-exact.
+    np.testing.assert_array_equal(y0[:, P * F:], yp[:, P * F:])
+    # Chunk endpoints exact (they ARE the gathered points).
+    ends = np.zeros(x.shape[0], bool)
+    ends[0::C] = True
+    ends[C - 1 :: C] = True
+    np.testing.assert_allclose(
+        y0[ends, : P * F], yp[ends, : P * F], atol=1e-7
+    )
+    # Interior error: secant-tiny for chunks inside one cell; bounded by
+    # the feature scale for the small fraction of chunks straddling a cell
+    # boundary (the corner-fused layout is discontinuous across cells).
+    err = np.abs(y0[:, : P * F] - yp[:, : P * F])
+    scale = np.abs(y0[:, : P * F]).max()
+    assert np.quantile(err, 0.9) < 0.02 * scale
+    assert err.max() < 4.0 * scale
+
+    # Misaligned batch (n % C != 0) -> exact fallback.
+    y_mis = np.asarray(enc.apply(params, x[:-1], paired_levels=P))
+    np.testing.assert_array_equal(y_mis, y0[:-1])
+
+    # Gradients flow into the table through the paired path.
+    def loss(p):
+        return (enc.apply(p, x, paired_levels=P) ** 2).sum()
+
+    g = jax.grad(loss)(params)["params"]["table"]
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
