@@ -65,12 +65,18 @@ def throughput_phase():
     n_levels = int(os.environ.get("BENCH_LEVELS", "4"))
     n_feats = int(os.environ.get("BENCH_FEATS", "16"))
     log2_t = int(os.environ.get("BENCH_LOG2T", "18"))
+    cdt = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_DTYPE", "bf16") in ("bf16", "bfloat16")
+        else None
+    )
     field = NGPRadianceField(
         aabb=aabb,
         encoder_type=encoder_type,
         n_levels=n_levels,
         n_features_per_level=n_feats,
         log2_hashmap_size=log2_t,
+        compute_dtype=cdt,
     )
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -97,6 +103,10 @@ def throughput_phase():
     )
     print(f"paired coarse levels: {paired}", flush=True)
 
+    # Array-path callbacks: measured FASTER than the SoA/chunked-gather
+    # variant (chunked_ray_components + tuple field inputs regressed the
+    # step 77->83 ms on v5e — the (n, 3) row gather fuses well in the P0
+    # graph, and the chunk broadcast breaks that fusion).
     def make_fns(params):
         def sigma_fn(ts, te, ri):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
@@ -227,6 +237,11 @@ def quality_phase(psnr_target: float):
         n_levels=int(os.environ.get("BENCH_LEVELS", "4")),
         n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
         log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
+        compute_dtype=(
+            jnp.bfloat16
+            if os.environ.get("BENCH_DTYPE", "bf16") in ("bf16", "bfloat16")
+            else None
+        ),
     )
     key = jax.random.PRNGKey(42)
     key, sub = jax.random.split(key)

@@ -129,9 +129,14 @@ def spherical_harmonics_deg4(d: Array) -> Array:
     """Real SH basis up to degree 4 (16 coefficients), matching tcnn's
     ``SphericalHarmonics`` view encoding (hard-coded polynomial basis).
 
-    ``d``: (..., 3) unit directions in [-1, 1].  Returns (..., 16).
+    ``d``: (..., 3) unit directions in [-1, 1], or an ``(x, y, z)`` tuple of
+    1-D component arrays (SoA fast path — avoids the 42x lane padding of a
+    3-minor tensor on TPU).  Returns (..., 16).
     """
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    if isinstance(d, (tuple, list)):
+        x, y, z = d
+    else:
+        x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
     xy, yz, xz = x * y, y * z, x * z
 

@@ -16,6 +16,8 @@ by autodiff.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 import jax
@@ -182,6 +184,12 @@ class HashGridEncoderFused(nn.Module):
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     max_resolution: int = 4096
+    # Optional low-precision compute (e.g. jnp.bfloat16): the f32 master
+    # table is cast once per step, halving gather/einsum HBM traffic; cell
+    # coords and trilinear weights stay f32 (bf16's 8-bit mantissa would
+    # quantize positions), only the feature math drops precision.  tcnn
+    # trains its tables in fp16 (ngp.py:99-137) — same numerics class.
+    compute_dtype: Optional[jnp.dtype] = None
 
     @property
     def latent_dim(self) -> int:
@@ -234,12 +242,28 @@ class HashGridEncoderFused(nn.Module):
             "table", nn.initializers.uniform(scale=2e-4), (L * T, 8 * F)
         )
         table = table - 1e-4
+        cdt = self.compute_dtype
+        if cdt is not None:
+            # One whole-table cast per step (~0.2 ms at 67 MB) halves the
+            # row-gather + combine traffic below; cell coords and trilinear
+            # weights are still computed in f32 (only the feature math and
+            # its backward drop precision).
+            table = table.astype(cdt)
 
-        batch_shape = x.shape[:-1]
-        n = int(np.prod(batch_shape)) if batch_shape else 1
-        xs = x[..., 0].reshape(n)
-        ys = x[..., 1].reshape(n)
-        zs = x[..., 2].reshape(n)
+        if isinstance(x, (tuple, list)):
+            # SoA fast path: three 1-D component arrays (no (n, 3) tensor —
+            # a 3-minor dim lane-pads 42x on TPU).
+            xs, ys, zs = x
+            batch_shape = xs.shape
+            n = xs.shape[0]
+            in_dtype = xs.dtype
+        else:
+            batch_shape = x.shape[:-1]
+            n = int(np.prod(batch_shape)) if batch_shape else 1
+            xs = x[..., 0].reshape(n)
+            ys = x[..., 1].reshape(n)
+            zs = x[..., 2].reshape(n)
+            in_dtype = x.dtype
 
         def encode_levels(res_list, lvl0, xs_, ys_, zs_):
             """Per-level trilinear hash encode of points ``(m,)`` for levels
@@ -247,7 +271,7 @@ class HashGridEncoderFused(nn.Module):
             level/point subset)."""
             k = len(res_list)
             m = xs_.shape[0]
-            res = jnp.asarray(res_list, x.dtype)[:, None]
+            res = jnp.asarray(res_list, in_dtype)[:, None]
             xl = xs_[None, :] * res
             yl = ys_[None, :] * res
             zl = zs_[None, :] * res
@@ -291,6 +315,8 @@ class HashGridEncoderFused(nn.Module):
                 ],
                 axis=-1,
             )  # (k, m, 8)
+            if cdt is not None:
+                w = w.astype(cdt)
             out = jnp.einsum(
                 "kc,kcf->kf",
                 w.reshape(k * m, 8),
@@ -326,6 +352,8 @@ class HashGridEncoderFused(nn.Module):
             den = cxv * cxv + cyv * cyv + czv * czv
             u = (dx0 * cxv + dy0 * cyv + dz0 * czv) / jnp.maximum(den, 1e-12)
             u = jnp.clip(u, 0.0, 1.0)
+            if cdt is not None:
+                u = u.astype(cdt)
 
             ff = jnp.broadcast_to(
                 oe[:, :nc, None, :], (P, nc, C, F)

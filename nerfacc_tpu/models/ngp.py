@@ -97,6 +97,11 @@ class NGPRadianceField(nn.Module):
     mlp_width: int = 64
     encoder_type: str = "fused"
     param_dtype: jnp.dtype = jnp.float32
+    # Optional low-precision compute (jnp.bfloat16): params stay f32 (flax
+    # casts at use; adam runs full precision), the encoder table/combine and
+    # both MLPs compute in bf16, and density/rgb activations are applied in
+    # f32.  Matches the numerics class of tcnn's fp16 training path.
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         # The fused encoder stores 8 corners per row; drop its per-level entry
@@ -108,28 +113,31 @@ class NGPRadianceField(nn.Module):
         log2_t = self.log2_hashmap_size - (
             3 if self.encoder_type in ("fused", "folded") else 0
         )
-        self.encoder = _ENCODERS[self.encoder_type](
+        enc_kwargs = dict(
             n_levels=self.n_levels,
             n_features_per_level=self.n_features_per_level,
             log2_hashmap_size=log2_t,
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
+        if self.compute_dtype is not None and self.encoder_type == "fused":
+            enc_kwargs["compute_dtype"] = self.compute_dtype
+        self.encoder = _ENCODERS[self.encoder_type](**enc_kwargs)
         self.mlp_base = nn.Sequential(
             [
-                nn.Dense(self.mlp_width),
+                nn.Dense(self.mlp_width, dtype=self.compute_dtype),
                 nn.relu,
-                nn.Dense(1 + self.geo_feat_dim),
+                nn.Dense(1 + self.geo_feat_dim, dtype=self.compute_dtype),
             ]
         )
         if self.geo_feat_dim > 0:
             self.mlp_head = nn.Sequential(
                 [
-                    nn.Dense(self.mlp_width),
+                    nn.Dense(self.mlp_width, dtype=self.compute_dtype),
                     nn.relu,
-                    nn.Dense(self.mlp_width),
+                    nn.Dense(self.mlp_width, dtype=self.compute_dtype),
                     nn.relu,
-                    nn.Dense(3),
+                    nn.Dense(3, dtype=self.compute_dtype),
                 ]
             )
 
@@ -161,12 +169,40 @@ class NGPRadianceField(nn.Module):
     def query_density(
         self, x: Array, return_feat: bool = False, paired_levels: int = 0
     ):
+        """``x``: positions ``(..., 3)``, or an ``(xs, ys, zs)`` tuple of 1-D
+        component arrays (SoA fast path, fused encoder only): position math
+        stays 1-D end-to-end, skipping the 42x lane padding that any
+        ``(n, 3)`` intermediate pays on TPU."""
         aabb = jnp.asarray(self.aabb, jnp.float32)
-        if self.unbounded:
-            u = contract_to_unisphere(x, aabb)
+        if isinstance(x, (tuple, list)):
+            assert self.encoder_type == "fused", "SoA input needs the fused encoder"
+            xs, ys, zs = x
+            lo, hi = aabb[:3], aabb[3:]
+            ux = (xs - lo[0]) / (hi[0] - lo[0])
+            uy = (ys - lo[1]) / (hi[1] - lo[1])
+            uz = (zs - lo[2]) / (hi[2] - lo[2])
+            if self.unbounded:
+                # contract_to_unisphere, per component (ord=2).
+                cx, cy, cz = ux * 2 - 1, uy * 2 - 1, uz * 2 - 1
+                mag = jnp.maximum(
+                    jnp.sqrt(cx * cx + cy * cy + cz * cz), 1e-6
+                )
+                scale = jnp.where(mag > 1, (2 - 1 / mag) / mag, 1.0)
+                ux = cx * scale / 4 + 0.5
+                uy = cy * scale / 4 + 0.5
+                uz = cz * scale / 4 + 0.5
+            selector = (
+                (ux > 0.0) & (ux < 1.0)
+                & (uy > 0.0) & (uy < 1.0)
+                & (uz > 0.0) & (uz < 1.0)
+            )
+            u = (ux, uy, uz)
         else:
-            u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
-        selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+            if self.unbounded:
+                u = contract_to_unisphere(x, aabb)
+            else:
+                u = (x - aabb[:3]) / (aabb[3:] - aabb[:3])
+            selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
         if paired_levels and self.encoder_type == "fused":
             h = self.encoder(u, paired_levels=paired_levels)
         else:
@@ -174,7 +210,8 @@ class NGPRadianceField(nn.Module):
         h = self.mlp_base(h)
         density_before, feat = h[..., :1], h[..., 1:]
         density = (
-            self._density_activation(density_before) * selector[..., None]
+            self._density_activation(density_before.astype(jnp.float32))
+            * selector[..., None]
         )
         if return_feat:
             return density, feat
@@ -183,10 +220,10 @@ class NGPRadianceField(nn.Module):
     def _query_rgb(self, direction: Optional[Array], embedding: Array):
         if self.use_viewdirs and direction is not None:
             d = spherical_harmonics_deg4(direction)
-            h = jnp.concatenate([d, embedding], axis=-1)
+            h = jnp.concatenate([d.astype(embedding.dtype), embedding], axis=-1)
         else:
             h = embedding
-        return nn.sigmoid(self.mlp_head(h))
+        return nn.sigmoid(self.mlp_head(h).astype(jnp.float32))
 
     def __call__(
         self,

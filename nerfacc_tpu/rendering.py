@@ -35,6 +35,51 @@ from .volrend import (
 Array = jnp.ndarray
 
 
+def chunked_ray_components(
+    rays_o: Array,
+    rays_d: Array,
+    ray_indices: Array,
+    chunk: int = 4,
+) -> Tuple[Tuple[Array, Array, Array], Tuple[Array, Array, Array]]:
+    """Per-sample ray origin/direction components for the chunk-aligned
+    sorted layout that :func:`~nerfacc_tpu.grid.traverse_and_compact` emits
+    (every aligned run of ``chunk`` samples shares one ray).
+
+    Instead of the naive ``rays_o[ray_indices]`` — a per-sample row gather
+    materializing a ``(n, 3)`` tensor — this gathers once per *chunk* (4x
+    fewer indices) per 1-D component and broadcasts along the chunk axis.
+    Returns ``((ox, oy, oz), (dx, dy, dz))`` 1-D ``(n,)`` arrays for field
+    callbacks to consume via the SoA field API
+    (:meth:`~nerfacc_tpu.models.ngp.NGPRadianceField.query_density`).
+
+    Only valid for chunk-aligned layouts; ``n % chunk != 0`` falls back to
+    per-sample gathers (still SoA).
+
+    Measured design note (v5e, 16k rays / 2^19 capacity): in the FULL
+    NGP-occ train graph this is a net LOSS (step 77 -> 83 ms vs the naive
+    row gather) — XLA fuses ``rays_o[ray_indices]`` + position math into
+    the encoder graph well, and the chunk broadcast/reshape breaks that
+    fusion (the same failure mode as anchor-cell row broadcast in
+    ``hash_soa.py``).  Kept as an opt-in for callbacks that are gather-bound
+    in isolation (e.g. density-only probes); the bench uses the array path.
+    """
+    n = ray_indices.shape[0]
+    if n % chunk:
+        o = tuple(jnp.take(rays_o[:, k], ray_indices) for k in range(3))
+        d = tuple(jnp.take(rays_d[:, k], ray_indices) for k in range(3))
+        return o, d
+    r_c = ray_indices.reshape(-1, chunk)[:, 0]
+    nc = n // chunk
+
+    def comp(col):
+        g = jnp.take(col, r_c)  # (n/chunk,)
+        return jnp.broadcast_to(g[:, None], (nc, chunk)).reshape(n)
+
+    o = tuple(comp(rays_o[:, k]) for k in range(3))
+    d = tuple(comp(rays_d[:, k]) for k in range(3))
+    return o, d
+
+
 def occgrid_render_rays(
     # field callbacks on flat sample tensors
     rgb_sigma_fn: Callable,  # (t_starts, t_ends, ray_indices) -> (rgb, sigma)

@@ -78,6 +78,11 @@ def main():
         n_levels=int(os.environ.get("PROF_LEVELS", "4")),
         n_features_per_level=int(os.environ.get("PROF_FEATS", "16")),
         log2_hashmap_size=int(os.environ.get("PROF_LOG2T", "18")),
+        compute_dtype=(
+            jnp.bfloat16
+            if os.environ.get("PROF_DTYPE", "f32") in ("bf16", "bfloat16")
+            else None
+        ),
     )
     params = field.init(
         jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
@@ -137,6 +142,8 @@ def main():
         ts = (1.5 + rr.random(cap) * 1.9).astype(np.float32)
         return (jnp.asarray(ri), jnp.asarray(ts), jnp.asarray(ts + step_size))
 
+    # Array-path callbacks (the SoA/chunked-gather variant measured slower
+    # in the full graph on v5e; see chunked_ray_components docstring).
     def t_sigma(ri, ts, te):
         x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
         return field.apply(
@@ -173,6 +180,58 @@ def main():
         return l + jax.tree.reduce(lambda a, b: a + b.sum(), grads, 0.0)
 
     timeit("render fwd+bwd", t_render_bwd, mk_samples)
+
+    # Scan/accumulate-only bisect: rendering() with a field-free callback
+    # (precomputed per-sample values), differentiated wrt those values —
+    # isolates transmittance scan + weights + accumulations + loss.
+    def mk_vals(seed):
+        ri, ts, te = mk_samples(seed)
+        rin = np.asarray(ri)
+        starts = np.searchsorted(rin, np.arange(n_rays)).astype(np.int32)
+        counts = (
+            np.searchsorted(rin, np.arange(n_rays), side="right").astype(
+                np.int32
+            )
+            - starts
+        )
+        rr = np.random.default_rng(seed + 7)
+        return (
+            ri, ts, te,
+            jnp.asarray(starts), jnp.asarray(counts),
+            jnp.asarray(rr.random((cap, 3), np.float32)),
+            jnp.asarray(rr.random((cap,), np.float32)),
+        )
+
+    def t_scans(ri, ts, te, sb_lo, sb_ct, rgbs, sigs):
+        def loss(rgbs, sigs):
+            def rgb_sigma_fn(t0, t1, rix):
+                return rgbs, sigs
+
+            c, _, _, _ = rendering(
+                ts, te, ray_indices=ri, n_rays=n_rays,
+                rgb_sigma_fn=rgb_sigma_fn, render_bkgd=bkgd,
+                seg_bounds=(sb_lo, sb_ct),
+            )
+            return optax.huber_loss(c, pixels, delta=1.0).mean()
+
+        l, (g1, g2) = jax.value_and_grad(loss, argnums=(0, 1))(rgbs, sigs)
+        return l + g1.sum() + g2.sum()
+
+    timeit("render scans fwd+bwd", t_scans, mk_vals)
+
+    def t_trans(ri, ts, te, sb_lo, sb_ct, rgbs, sigs):
+        from nerfacc_tpu.volrend import render_weight_from_density
+
+        def loss(sigs):
+            w, _, _ = render_weight_from_density(
+                ts, te, sigs, ray_indices=ri, n_rays=n_rays
+            )
+            return (w * ts).sum()
+
+        l, g = jax.value_and_grad(loss)(sigs)
+        return l + g.sum()
+
+    timeit("transmittance fwd+bwd", t_trans, mk_vals)
 
     def t_opt(ri, ts, te):
         grads = jax.tree.map(lambda x: x * 1e-3, params)

@@ -335,3 +335,94 @@ def test_fused_paired_levels_lerp():
 
     g = jax.grad(loss)(params)["params"]["table"]
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_ngp_compute_dtype_bf16():
+    """bf16 compute path: f32 params/outputs, close to the f32 path, healthy
+    gradients (the bench's mixed-precision mode, tcnn-fp16 numerics class)."""
+    from nerfacc_tpu.models.ngp import NGPRadianceField
+
+    aabb = [-1.5] * 3 + [1.5] * 3
+    kw = dict(aabb=aabb, encoder_type="fused", n_levels=4,
+              n_features_per_level=16, log2_hashmap_size=15)
+    f32 = NGPRadianceField(**kw)
+    bf = NGPRadianceField(**kw, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2048, 3)).astype(np.float32))
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    params = f32.init(jax.random.PRNGKey(0), x[:8], d[:8])
+
+    rgb0, s0 = f32.apply(params, x, d)
+    rgb1, s1 = bf.apply(params, x, d)
+    assert rgb1.dtype == jnp.float32 and s1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=3e-2)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0),
+        rtol=3e-2, atol=1e-3 * float(jnp.abs(s0).max()),
+    )
+
+    def loss(pp, field):
+        r, s = field.apply(pp, x, d)
+        return r.sum() + s.sum()
+
+    g0 = jax.grad(loss)(params, f32)["params"]["encoder"]["table"]
+    g1 = jax.grad(loss)(params, bf)["params"]["encoder"]["table"]
+    assert g1.dtype == jnp.float32
+    assert np.isfinite(np.asarray(g1)).all()
+    corr = float(
+        (g0.ravel() @ g1.ravel())
+        / (jnp.linalg.norm(g0) * jnp.linalg.norm(g1) + 1e-12)
+    )
+    assert corr > 0.98, corr
+
+
+def test_ngp_soa_query_matches_array_path():
+    """SoA (component-tuple) field inputs + chunked ray gathers reproduce
+    the (n, 3)-array path exactly (bounded and unbounded contraction)."""
+    from nerfacc_tpu.models.ngp import NGPRadianceField
+    from nerfacc_tpu.rendering import chunked_ray_components
+
+    aabb = [-1.5] * 3 + [1.5] * 3
+    field = NGPRadianceField(aabb=aabb, encoder_type="fused", n_levels=4,
+                             n_features_per_level=16, log2_hashmap_size=15)
+    rng = np.random.default_rng(0)
+    n_rays, n = 64, 64 * 8
+    ri = jnp.asarray(np.repeat(np.arange(n_rays, dtype=np.int32), 8))
+    ro = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rd = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ts = jnp.asarray(rng.random(n).astype(np.float32))
+    te = ts + 5e-3
+    rays_o, rays_d = jnp.asarray(ro), jnp.asarray(rd)
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
+    )
+
+    mid = (ts + te) / 2
+    x = rays_o[ri] + mid[:, None] * rays_d[ri]
+    rgb0, s0 = field.apply(params, x, rays_d[ri])
+
+    (ox, oy, oz), (dx, dy, dz) = chunked_ray_components(rays_o, rays_d, ri)
+    xs = (ox + mid * dx, oy + mid * dy, oz + mid * dz)
+    rgb1, s1 = field.apply(params, xs, (dx, dy, dz))
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-6
+    )
+
+    # Misaligned batch -> per-sample fallback, still exact.
+    (ox, _, _), _ = chunked_ray_components(rays_o, rays_d, ri[:-1])
+    np.testing.assert_array_equal(
+        np.asarray(ox), np.asarray(rays_o[ri[:-1], 0])
+    )
+
+    # Unbounded contraction parity.
+    fu = NGPRadianceField(aabb=aabb, encoder_type="fused", n_levels=4,
+                          n_features_per_level=16, log2_hashmap_size=15,
+                          unbounded=True)
+    pu = fu.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    s0u = fu.apply(pu, 3.0 * x, method="query_density")
+    s1u = fu.apply(pu, tuple(3.0 * a for a in xs), method="query_density")
+    np.testing.assert_allclose(
+        np.asarray(s1u), np.asarray(s0u), rtol=1e-5, atol=1e-6
+    )
