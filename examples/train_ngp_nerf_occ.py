@@ -102,6 +102,9 @@ def main():
                         "(halves gather/scatter indices), 8 the default")
     p.add_argument("--feats", type=int, default=None)
     p.add_argument("--log2t", type=int, default=None)
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="field compute precision (bf16: ~15%% faster step, "
+                        "f32 params/adam; quality-gate clean on the bench)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -164,6 +167,7 @@ def main():
             n_levels=args.levels or (8 if fused else 16),
             n_features_per_level=args.feats or (16 if fused else 2),
             log2_hashmap_size=args.log2t or (18 if fused else 19),
+            compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
         )
     elif args.field == "tensorf":
         from nerfacc_tpu.models.tensorf import TensoRFRadianceField

@@ -350,7 +350,6 @@ class OccGridEstimator(AbstractEstimator):
         (reference: uniform over occupied; here a categorical over the binary
         mask — uniform over occupied cells, uniform over all if none occupied).
         """
-        grid_coords = jnp.asarray(self._grid_coords_np)
         resolution = jnp.asarray(self.resolution, jnp.float32)
         occs = state.occs
 
@@ -394,9 +393,20 @@ class OccGridEstimator(AbstractEstimator):
                     jnp.concatenate([uniform_idx, occupied_idx])
                 )
 
+        ry, rz = self.resolution[1], self.resolution[2]
         for lvl, indices in enumerate(lvl_indices):
             key, k_jit = jax.random.split(key)
-            coords = grid_coords[indices]
+            # Cell coords derived arithmetically from the flat index
+            # (meshgrid-ij layout) — replaces a row gather of the
+            # (cells, 3) coord table (~7 ns/index for 1M sampled cells).
+            coords = jnp.stack(
+                [
+                    (indices // (ry * rz)).astype(jnp.float32),
+                    ((indices // rz) % ry).astype(jnp.float32),
+                    (indices % rz).astype(jnp.float32),
+                ],
+                axis=-1,
+            )
             x = (
                 coords
                 + jax.random.uniform(k_jit, coords.shape, jnp.float32)
@@ -406,11 +416,13 @@ class OccGridEstimator(AbstractEstimator):
             occ = occ_eval_fn(x).reshape(-1)
 
             cell_ids = lvl * self.cells_per_lvl + indices
-            # Scatter-max EMA (associative; dedups repeated indices).
-            proposed = jnp.zeros_like(occs).at[cell_ids].max(occ)
-            touched = (
-                jnp.zeros(occs.shape, bool).at[cell_ids].set(True)
-            )
+            # Scatter-max EMA (associative; dedups repeated indices).  The
+            # -1 fill doubles as the touched mask (occ_eval_fn outputs are
+            # non-negative — densities*step or alphas, as in the reference)
+            # so one scatter serves both roles.
+            proposed = jnp.full_like(occs, -1.0).at[cell_ids].max(occ)
+            touched = proposed >= 0.0
+            proposed = jnp.maximum(proposed, 0.0)
             # Never resurrect camera-invisible cells (marked -1).
             touched = touched & (occs >= 0.0)
             occs = jnp.where(

@@ -152,6 +152,34 @@ def main():
 
     timeit("field sigma fwd", t_sigma, mk_samples)
 
+    def t_encoder_bwd(ri, ts, te):
+        def loss(pp):
+            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            aabb_arr = jnp.asarray(aabb, jnp.float32)
+            u = (x - aabb_arr[:3]) / (aabb_arr[3:] - aabb_arr[:3])
+            h = field.apply(
+                pp, u, method=lambda m, u_: m.encoder(u_)
+            )
+            return (h.astype(jnp.float32) * ts[:, None]).sum()
+
+        l, grads = jax.value_and_grad(loss)(params)
+        return l + jax.tree.reduce(lambda a, b: a + b.sum(), grads, 0.0)
+
+    timeit("encoder fwd+bwd", t_encoder_bwd, mk_samples)
+
+    def t_sigma_bwd(ri, ts, te):
+        def loss(pp):
+            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            s = field.apply(
+                pp, x, paired_levels=paired, method="query_density"
+            )
+            return (s[..., 0] * ts).sum()
+
+        l, grads = jax.value_and_grad(loss)(params)
+        return l + jax.tree.reduce(lambda a, b: a + b.sum(), grads, 0.0)
+
+    timeit("sigma fwd+bwd", t_sigma_bwd, mk_samples)
+
     def t_field_bwd(ri, ts, te):
         def loss(pp):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
