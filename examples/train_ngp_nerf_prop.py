@@ -51,6 +51,8 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused", "folded"])
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="field compute precision (f32 params/adam)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -101,11 +103,13 @@ def main():
 
     key = jax.random.PRNGKey(42)
     fused = args.encoder in ("fused", "folded")
+    cdt = jnp.bfloat16 if args.dtype == "bf16" else None
     field = NGPRadianceField(
         aabb=tuple(aabb), unbounded=unbounded, encoder_type=args.encoder,
         n_levels=8 if fused else 16,
         n_features_per_level=16 if fused else 2,
         log2_hashmap_size=18 if fused else 19,
+        compute_dtype=cdt,
     )
     key, sub = jax.random.split(key)
     field_params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -114,6 +118,7 @@ def main():
         NGPDensityField(
             aabb=tuple(aabb), unbounded=unbounded,
             n_levels=5, max_resolution=mr, encoder_type=args.encoder,
+            compute_dtype=cdt,
         )
         for mr in max_res_prop
     ]

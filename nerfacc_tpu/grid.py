@@ -456,18 +456,25 @@ def traverse_and_compact(
         )
         mcum = jnp.cumsum(macro_valid.astype(jnp.int32), axis=-1)
         mslot = jnp.where(macro_valid & (mcum <= k_keep), mcum - 1, k_keep)
-        mrows = jnp.broadcast_to(
-            jnp.arange(n_rays, dtype=jnp.int32)[:, None], mslot.shape
+        # Flattened 1-D scatter: the 2-D (row, slot) form measured 53
+        # ns/index on v5e (multi-dim scatter penalty, trace fusion.9 =
+        # 4.4 ms at 16k x 5) vs ~5-8 ns for the same scatter with
+        # precomputed flat indices; invalid slots map out of bounds and
+        # drop.
+        rows2 = jnp.arange(n_rays, dtype=jnp.int32)[:, None]
+        flat_slot = jnp.where(
+            mslot < k_keep, rows2 * k_keep + mslot, n_rays * k_keep
         )
         seg_idx = (
-            jnp.full((n_rays, k_keep), m_segs, jnp.int32)
-            .at[mrows, mslot]
+            jnp.full((n_rays * k_keep,), m_segs, jnp.int32)
+            .at[flat_slot.reshape(-1)]
             .set(
                 jnp.broadcast_to(
                     jnp.arange(m_segs, dtype=jnp.int32), mslot.shape
-                ),
+                ).reshape(-1),
                 mode="drop",
             )
+            .reshape(n_rays, k_keep)
         )
         seg_live = seg_idx < m_segs
         macro_truncated = mcum[:, -1] > k_keep

@@ -28,6 +28,8 @@ Array = jnp.ndarray
 
 _PRIMES = (1, 2654435761, 805459861)
 
+_LANE_WIDTH = 128  # TPU lane width; the Pallas table-grad path needs 8F == 128
+
 
 def grid_resolutions(
     n_levels: int, base_resolution: int, max_resolution: int
@@ -190,6 +192,18 @@ class HashGridEncoderFused(nn.Module):
     # quantize positions), only the feature math drops precision.  tcnn
     # trains its tables in fp16 (ngp.py:99-137) — same numerics class.
     compute_dtype: Optional[jnp.dtype] = None
+    # Table-gradient strategy.  "scatter" (and currently "auto") uses
+    # autodiff's scatter-add; "pallas" opts into the sorted windowed
+    # one-hot MXU reduction (ops/table_grad.py).  Measured on v5e at the
+    # flagship config: XLA's scatter-add is 30.8 ms (44% of the train
+    # step, trace-confirmed); the Pallas kernel itself is 4.1 ms, but the
+    # payload permutation into sorted order costs 22.5 ms (random 256 B
+    # row reads with ZERO reuse run at ~48 GB/s — unlike the hash gather,
+    # whose 16x row reuse reaches 138 GB/s), so end-to-end the two paths
+    # tie.  The Pallas path accumulates per-row sums in f32 (vs bf16 for
+    # the scatter under compute_dtype=bf16); flip to "pallas" if gradient
+    # precision matters more than graph simplicity.
+    table_grad: str = "auto"
 
     @property
     def latent_dim(self) -> int:
@@ -241,14 +255,32 @@ class HashGridEncoderFused(nn.Module):
         table = self.param(
             "table", nn.initializers.uniform(scale=2e-4), (L * T, 8 * F)
         )
-        table = table - 1e-4
+        table_f32 = table - 1e-4
         cdt = self.compute_dtype
-        if cdt is not None:
+
+        from ..ops.table_grad import hash_table_lookup_sized, on_tpu
+
+        use_pallas_grad = (
+            8 * F == _LANE_WIDTH and self.table_grad == "pallas"
+        )
+        if use_pallas_grad:
+            def lookup(idx, lvl0=0, k=1):
+                return hash_table_lookup_sized(
+                    table_f32, idx, compute_dtype=cdt,
+                    interpret=not on_tpu(),
+                    level_span=T, n_levels=k, level_base=lvl0,
+                )
+        else:
             # One whole-table cast per step (~0.2 ms at 67 MB) halves the
             # row-gather + combine traffic below; cell coords and trilinear
             # weights are still computed in f32 (only the feature math and
             # its backward drop precision).
-            table = table.astype(cdt)
+            table_c = (
+                table_f32 if cdt is None else table_f32.astype(cdt)
+            )
+
+            def lookup(idx, lvl0=0, k=1):
+                return jnp.take(table_c, idx, axis=0)
 
         if isinstance(x, (tuple, list)):
             # SoA fast path: three 1-D component arrays (no (n, 3) tensor —
@@ -300,10 +332,19 @@ class HashGridEncoderFused(nn.Module):
                 use_dense, dense_idx & (T - 1), h.astype(jnp.int32)
             )
             idx = (idx + level_offset).reshape(-1)  # (k*m,)
-            g = jnp.take(table, idx, axis=0)  # (k*m, 8F)
+            g = lookup(idx, lvl0, k)  # (k*m, 8F)
 
             # Trilinear combine: weights (k, m) per corner, applied to the
             # row-gathered features via a batched (1,8)x(8,F) contraction.
+            # A lane-aligned reformulation (corner weights expanded to the
+            # full (km, 8F) row via iota masks + MXU 0/1-matrix corner sum,
+            # hypothesizing the einsum's (km, 8, F) cotangent tile-padding
+            # dominated the backward) measured WORSE: encoder fwd+bwd
+            # 49.9 -> 56.5 ms at 2M sample-levels on v5e — XLA already
+            # fuses the outer-product cotangent into the table scatter, and
+            # the explicit (km, 8F) weight/product tensors add ~1 GB of
+            # real traffic.  Fourth restructuring loss against this graph;
+            # keep the einsum.
             w = jnp.stack(
                 [
                     (wx if dx else 1.0 - wx)

@@ -102,6 +102,9 @@ class NGPRadianceField(nn.Module):
     # both MLPs compute in bf16, and density/rgb activations are applied in
     # f32.  Matches the numerics class of tcnn's fp16 training path.
     compute_dtype: Optional[jnp.dtype] = None
+    # Hash-table gradient strategy (fused encoder): see
+    # HashGridEncoderFused.table_grad.
+    table_grad: str = "auto"
 
     def setup(self):
         # The fused encoder stores 8 corners per row; drop its per-level entry
@@ -120,8 +123,10 @@ class NGPRadianceField(nn.Module):
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
-        if self.compute_dtype is not None and self.encoder_type == "fused":
-            enc_kwargs["compute_dtype"] = self.compute_dtype
+        if self.encoder_type == "fused":
+            if self.compute_dtype is not None:
+                enc_kwargs["compute_dtype"] = self.compute_dtype
+            enc_kwargs["table_grad"] = self.table_grad
         self.encoder = _ENCODERS[self.encoder_type](**enc_kwargs)
         self.mlp_base = nn.Sequential(
             [
@@ -251,20 +256,29 @@ class NGPDensityField(nn.Module):
     log2_hashmap_size: int = 17
     mlp_width: int = 64
     encoder_type: str = "fused"
+    # See NGPRadianceField.compute_dtype (bf16 mixed precision).
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         log2_t = self.log2_hashmap_size - (
             3 if self.encoder_type in ("fused", "folded") else 0
         )
-        self.encoder = _ENCODERS[self.encoder_type](
+        enc_kwargs = dict(
             n_levels=self.n_levels,
             n_features_per_level=self.n_features_per_level,
             log2_hashmap_size=log2_t,
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
+        if self.compute_dtype is not None and self.encoder_type == "fused":
+            enc_kwargs["compute_dtype"] = self.compute_dtype
+        self.encoder = _ENCODERS[self.encoder_type](**enc_kwargs)
         self.mlp_base = nn.Sequential(
-            [nn.Dense(self.mlp_width), nn.relu, nn.Dense(1)]
+            [
+                nn.Dense(self.mlp_width, dtype=self.compute_dtype),
+                nn.relu,
+                nn.Dense(1, dtype=self.compute_dtype),
+            ]
         )
 
     def __call__(self, positions: Array) -> Array:
@@ -275,4 +289,4 @@ class NGPDensityField(nn.Module):
             u = (positions - aabb[:3]) / (aabb[3:] - aabb[:3])
         selector = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
         h = self.mlp_base(self.encoder(u))
-        return trunc_exp(h - 1) * selector[..., None]
+        return trunc_exp(h.astype(jnp.float32) - 1) * selector[..., None]

@@ -1,0 +1,363 @@
+"""Pallas hash-table gradient kernel: sorted windowed one-hot MXU reduction.
+
+The problem: the fused encoder's backward must compute
+
+    dT[r] = sum_{i : idx_i == r} dg_i          (r < n_rows, dg_i a 128-vector)
+
+for ~2M sample-levels into a (131072, 128) table.  XLA lowers this
+scatter-add as sort + serial sorted-scatter; the scatter alone measured
+**30.8 ms** (14.7 ns/index) on v5e — 44% of the whole NGP train step
+(device trace, fusion.7).  Reference anchor: tiny-cuda-nn's fp16 gradient
+accumulation for the same op (``examples/radiance_fields/ngp.py:99-137``).
+
+The TPU-native replacement keeps the sort (cheap: 1.7 ms for 2M int32
+keys) and exploits what sortedness buys: the samples belonging to any
+aligned window of ``W`` table rows form one *contiguous slice* of the
+sorted arrays.  A Pallas kernel walks a precomputed worklist of
+(window, chunk) slots; each slot DMAs a ``(CH, 128)`` slice of sorted
+gradients plus its ``(CH,)`` indices into VMEM, builds the in-window
+one-hot matrix ``O[j, r] = (idx_j - w0 == r)`` on the VPU, and reduces
+
+    out[w0 : w0 + W] += O^T @ dg_chunk
+
+on the MXU with f32 accumulation — no per-index serial work anywhere.
+Rows outside the slot's window (leading/trailing samples pulled in by
+DMA alignment, sentinel padding) fall outside ``[0, W)`` and mask to
+zero in the one-hot automatically, so no explicit bounds bookkeeping is
+needed inside the kernel.
+
+Cost at the flagship config (N = 2M, n_rows = 131072, W = 512,
+CH = 2048): ~1280 slots x 0.27 GFLOP = 0.34 TFLOP of MXU work plus one
+streamed pass over the 0.5 GB payload; measured end-to-end (sort +
+permute + kernel) ~3x faster than the XLA scatter, and *more* precise —
+per-row sums accumulate in f32 where the bf16 table's autodiff scatter
+accumulates in bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_LANE = 128
+
+
+def on_tpu() -> bool:
+    try:
+        dev = jax.devices()[0]
+        return (
+            "tpu" in dev.platform.lower()
+            or "tpu" in getattr(dev, "device_kind", "").lower()
+        )
+    except Exception:
+        return False
+
+
+def _worklist(
+    sorted_idx: Array, n_rows: int, W: int, CH: int, n_slots: int,
+    n_payload: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """Static-size (window, chunk) worklist over the sorted index array.
+
+    Window ``w`` owns sorted positions ``[starts[w], starts[w+1])``; its
+    slots cover them in ``CH`` steps with DMA offsets aligned down to 128
+    rows (the misaligned head belongs to earlier windows and masks out in
+    the kernel).  Every window gets >= 1 slot so every output block is
+    written (zeroed) even when empty.
+    """
+    NW = n_rows // W
+    n = sorted_idx.shape[0]
+    starts = jnp.searchsorted(
+        sorted_idx, jnp.arange(NW + 1, dtype=jnp.int32) * W
+    ).astype(jnp.int32)
+    cnt = starts[1:] - starts[:-1]
+    # Slots are whole CH-tiles of the sorted arrays (DMA offsets stay
+    # CH-aligned, which Mosaic needs to prove sublane-tile divisibility);
+    # a window owns every tile its position range touches.  Boundary tiles
+    # shared by two windows are processed once per window — each keeps
+    # only its own rows via the one-hot range mask.
+    c0 = starts[:-1] // CH
+    c1 = jnp.maximum(starts[1:] - 1, starts[:-1]) // CH
+    slots_per = jnp.where(cnt > 0, c1 - c0 + 1, 1)
+    first_slot = jnp.cumsum(slots_per) - slots_per  # (NW,)
+    sl = jnp.arange(n_slots, dtype=jnp.int32)
+    wid = (
+        jnp.searchsorted(first_slot, sl, side="right").astype(jnp.int32) - 1
+    )
+    wid = jnp.clip(wid, 0, NW - 1)
+    k = sl - jnp.take(first_slot, wid)
+    # Overflow slots (beyond the real worklist) clamp onto in-bounds tiles
+    # of real payload; `valid` zeroes their contribution in the kernel so
+    # nothing double-counts.
+    total = jnp.sum(slots_per)
+    off = jnp.clip((jnp.take(c0, wid) + k) * CH, 0, n_payload - CH)
+    first = (k == 0).astype(jnp.int32)
+    valid = (sl < total).astype(jnp.int32)
+    return wid, off, first, valid
+
+
+def _tgrad_kernel(
+    wid_ref,  # scalar-prefetch (n_slots,) i32 — consumed by index_map
+    off_ref,  # scalar-prefetch (n_slots,) i32
+    first_ref,  # scalar-prefetch (n_slots,) i32
+    valid_ref,  # scalar-prefetch (n_slots,) i32
+    idx_hbm,  # (n_pad/128, 128) i32 in ANY
+    dg_hbm,  # (n_payload, 128) dg dtype in ANY
+    out_ref,  # (W, 128) f32 block for this slot's window
+    idx_vmem,  # scratch (CH/128, 128) i32
+    dg_vmem,  # scratch (CH, 128) dg dtype
+    sems,  # DMA semaphores (2,)
+    *,
+    W: int,
+    CH: int,
+):
+    s = pl.program_id(0)
+    # Worklist offsets are whole CH-tiles; the hints let Mosaic prove
+    # divisibility by the sublane tiling for both HBM DMA slices.
+    off = pl.multiple_of(off_ref[s], CH)
+    row0 = pl.multiple_of(off // _LANE, CH // _LANE)
+
+    idx_dma = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(row0, CH // _LANE), :],
+        idx_vmem,
+        sems.at[0],
+    )
+    dg_dma = pltpu.make_async_copy(
+        dg_hbm.at[pl.ds(off, CH), :],
+        dg_vmem,
+        sems.at[1],
+    )
+    idx_dma.start()
+    dg_dma.start()
+    idx_dma.wait()
+    dg_dma.wait()
+
+    w0 = wid_ref[s] * W
+    # One (W, 128) one-hot per 128-sample lane row: oh[r, j] = (idx_j - w0
+    # == r).  Samples stay on the LANE axis end-to-end (no lane->sublane
+    # relayout of the index vector), and each one-hot feeds one MXU
+    # (W, 128) @ (128, 128) contraction over the sample lanes.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
+    # Overflow worklist slots clamp onto real tiles; shifting their rel
+    # out of [0, W) masks the whole tile (no double counting).
+    w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
+    mm = jnp.zeros((W, _LANE), jnp.float32)
+    for k in range(CH // _LANE):
+        rel = idx_vmem[k, :] - w0  # (128,) lane vector
+        oh = (rel[None, :] == rows).astype(dg_vmem.dtype)  # (W, 128)
+        mm = mm + jax.lax.dot_general(
+            oh,
+            dg_vmem[k * _LANE : (k + 1) * _LANE, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[:] = mm
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + mm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "W", "CH", "interpret")
+)
+def table_grad_sorted(
+    sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
+    dg_sorted: Array,  # (N, 128) f32/bf16, rows permuted like sorted_idx
+    *,
+    n_rows: int,
+    W: int = 512,
+    CH: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Per-row sums of ``dg_sorted`` grouped by ``sorted_idx`` — the
+    segment-sum the encoder backward needs, returned as (n_rows, 128) f32.
+
+    ``sorted_idx`` may contain the sentinel value ``n_rows`` (padding);
+    those rows are dropped.  ``n_rows`` must be a multiple of ``W``,
+    ``CH`` of 128, and the row width exactly 128 lanes.
+    """
+    assert n_rows % W == 0 and CH % _LANE == 0
+    assert dg_sorted.shape[1] == _LANE
+    n = sorted_idx.shape[0]
+    # Sentinel-pad so tail DMA windows stay in bounds.  When N is already
+    # CH-aligned (the training path: N = levels x a power-of-two capacity)
+    # only the cheap index array needs padding — overflow tiles read real
+    # payload rows whose sentinel indices mask them out of the one-hot, so
+    # the 0.5 GB payload copy is skipped (pad.10, 1.6 ms on v5e).
+    n_pad = -(-(n + CH) // CH) * CH
+    sorted_idx = jnp.concatenate(
+        [
+            sorted_idx,
+            jnp.full((n_pad - n,), n_rows, jnp.int32),
+        ]
+    )
+    if n % CH:
+        dg_sorted = jnp.concatenate(
+            [dg_sorted, jnp.zeros((n_pad - n, _LANE), dg_sorted.dtype)]
+        )
+
+    NW = n_rows // W
+    # Upper bound on tiles: every window costs <= ceil(cnt/CH) + 1 tiles
+    # (boundary tiles are visited once per adjoining window); overflow
+    # slots clamp in-bounds and are zeroed via `valid`.
+    n_slots = 2 * NW + n_pad // CH
+    wid, off, first, valid = _worklist(
+        sorted_idx, n_rows, W, CH, n_slots, dg_sorted.shape[0]
+    )
+
+    kernel = functools.partial(_tgrad_kernel, W=W, CH=CH)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (W, _LANE), lambda s, wid, off, first, valid: (wid[s], 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((CH, _LANE), dg_sorted.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * CH * W * _LANE,
+            bytes_accessed=n_pad * _LANE * dg_sorted.dtype.itemsize
+            + n_rows * _LANE * 4,
+            transcendentals=0,
+        ),
+    )(wid, off, first, valid, sorted_idx.reshape(-1, _LANE), dg_sorted)
+    return out
+
+
+def table_grad_ref(sorted_idx: Array, dg_sorted: Array, n_rows: int) -> Array:
+    """Pure-jnp oracle (segment-sum semantics, f32 accumulation)."""
+    return jax.ops.segment_sum(
+        dg_sorted.astype(jnp.float32),
+        sorted_idx,
+        num_segments=n_rows + 1,
+    )[:n_rows]
+
+
+# custom_vjp needs the table shape in the backward; close over it (cached
+# per (n_rows, dtype, level split) so repeated traces reuse one vjp).
+@functools.lru_cache(maxsize=None)
+def _sized_lookup(
+    n_rows: int,
+    compute_dtype_name: str,
+    interpret: bool,
+    level_span: int,
+    n_levels: int,
+    level_base: int,
+):
+    cdt = None if compute_dtype_name == "none" else jnp.dtype(
+        compute_dtype_name
+    )
+    span = level_span or n_rows
+    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+
+    def plain(table, idx):
+        t = table if cdt is None else table.astype(cdt)
+        return jnp.take(t, idx, axis=0)
+
+    if W is None:  # tiny/odd tables: keep autodiff's scatter-add
+        return plain
+
+    @jax.custom_vjp
+    def lookup(table, idx):
+        return plain(table, idx)
+
+    def fwd(table, idx):
+        return lookup(table, idx), idx
+
+    def bwd(res, dg):
+        idx = res
+        if not level_span:
+            sidx, perm = jax.lax.sort_key_val(
+                idx, jnp.arange(idx.shape[0], dtype=jnp.int32)
+            )
+            dgs = jnp.take(dg, perm, axis=0)
+            dT = table_grad_sorted(
+                sidx, dgs, n_rows=n_rows, W=W, interpret=interpret
+            )
+            return dT.astype(jnp.float32), None
+
+        # Per-level decomposition: the index array is level-major, so each
+        # level's sort/permute touches only its own (m, 128) payload slice
+        # and its span of the table — random-row permute reads from a 4x
+        # smaller address range (much higher DRAM page locality; the
+        # whole-array permute measured 22.5 ms vs a 3.9 ms same-count
+        # gather from a 67 MB table on v5e).
+        m = idx.shape[0] // n_levels
+        parts = []
+        for j in range(n_levels):
+            base = (level_base + j) * level_span
+            idl = idx[j * m : (j + 1) * m] - base
+            sidx, perm = jax.lax.sort_key_val(
+                idl, jnp.arange(m, dtype=jnp.int32)
+            )
+            dgs = jnp.take(dg[j * m : (j + 1) * m], perm, axis=0)
+            parts.append(
+                table_grad_sorted(
+                    sidx, dgs, n_rows=level_span, W=W, interpret=interpret
+                )
+            )
+        block = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+        lo = level_base * level_span
+        hi = lo + n_levels * level_span
+        if lo == 0 and hi == n_rows:
+            return block, None
+        pad_lo = jnp.zeros((lo, _LANE), jnp.float32)
+        pad_hi = jnp.zeros((n_rows - hi, _LANE), jnp.float32)
+        return jnp.concatenate([pad_lo, block, pad_hi], axis=0), None
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def hash_table_lookup_sized(
+    table: Array,
+    idx: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+    level_span: int = 0,
+    n_levels: int = 1,
+    level_base: int = 0,
+) -> Array:
+    """Public entry: gather with Pallas sorted-reduction backward.
+
+    ``table`` (n_rows, 128) f32; ``idx`` (N,) i32 in [0, n_rows).  The
+    gradient wrt ``table`` accumulates in f32 (exact per-row sums) via
+    :func:`table_grad_sorted` instead of XLA's serial sorted scatter.
+
+    When ``level_span > 0`` the indices are promised level-major: slice
+    ``j`` of ``n_levels`` equal slices holds values in
+    ``[(level_base+j)*level_span, (level_base+j+1)*level_span)`` — the
+    backward then sorts/permutes per level (better DRAM locality).
+    """
+    assert table.ndim == 2 and table.shape[1] == _LANE, table.shape
+    if level_span and idx.shape[0] % n_levels:
+        level_span = 0  # fall back to the global path
+    name = "none" if compute_dtype is None else jnp.dtype(compute_dtype).name
+    return _sized_lookup(
+        int(table.shape[0]), name, interpret, int(level_span),
+        int(n_levels), int(level_base),
+    )(table, idx)
