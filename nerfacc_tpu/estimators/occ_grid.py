@@ -379,8 +379,16 @@ class OccGridEstimator(AbstractEstimator):
                 cell_arange = jnp.arange(self.cells_per_lvl, dtype=jnp.int32)
                 occupied_cells = (
                     jnp.zeros((self.cells_per_lvl,), jnp.int32)
-                    .at[jnp.where(occ_mask, cdf - 1, self.cells_per_lvl)]
-                    .set(cell_arange, mode="drop")
+                    .at[
+                        jnp.where(
+                            occ_mask,
+                            cdf - 1,
+                            # distinct OOB slots -> provably unique index
+                            # vector (permutation-write scatter lowering)
+                            self.cells_per_lvl + cell_arange,
+                        )
+                    ]
+                    .set(cell_arange, mode="drop", unique_indices=True)
                 )
                 u = jax.random.randint(
                     k_occ, (n_cells,), 0, jnp.maximum(total, 1), jnp.int32

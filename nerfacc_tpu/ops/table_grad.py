@@ -294,7 +294,7 @@ def _sized_lookup(
             sidx, perm = jax.lax.sort_key_val(
                 idx, jnp.arange(idx.shape[0], dtype=jnp.int32)
             )
-            dgs = jnp.take(dg, perm, axis=0)
+            dgs = jnp.take(dg, perm, axis=0, unique_indices=True)
             dT = table_grad_sorted(
                 sidx, dgs, n_rows=n_rows, W=W, interpret=interpret
             )
@@ -314,7 +314,9 @@ def _sized_lookup(
             sidx, perm = jax.lax.sort_key_val(
                 idl, jnp.arange(m, dtype=jnp.int32)
             )
-            dgs = jnp.take(dg[j * m : (j + 1) * m], perm, axis=0)
+            dgs = jnp.take(
+                dg[j * m : (j + 1) * m], perm, axis=0, unique_indices=True
+            )
             parts.append(
                 table_grad_sorted(
                     sidx, dgs, n_rows=level_span, W=W, interpret=interpret
