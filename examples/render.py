@@ -39,6 +39,8 @@ def main():
     p.add_argument("--levels", type=int, default=None)
     p.add_argument("--feats", type=int, default=None)
     p.add_argument("--log2t", type=int, default=None)
+    p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"],
+                   help="field compute precision for inference")
     p.add_argument("--repeat", type=int, default=1,
                    help="render the test set N times; the last pass is "
                         "timed separately (steady-state, post-compile)")
@@ -78,6 +80,7 @@ def main():
         n_levels=args.levels or (8 if fused else 16),
         n_features_per_level=args.feats or (16 if fused else 2),
         log2_hashmap_size=args.log2t or (18 if fused else 19),
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
     )
 
     def builder(rays_o, rays_d):
