@@ -85,3 +85,45 @@ def test_cli_save_resume_end_to_end():
 def test_time_jitted():
     dt = time_jitted(lambda x: x * 2 + 1, jnp.ones((128,)), warmup=1, iters=3)
     assert dt > 0
+
+
+def test_capture_trace_parser(tmp_path, capsys):
+    """The device-trace aggregator handles a minimal Chrome-trace layout."""
+    import gzip
+    import json
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+    from capture_trace import parse
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 1, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 1, "tid": 3, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.1",
+             "dur": 3000, "ts": 0},
+            {"ph": "X", "pid": 1, "tid": 3, "name": "fusion.1",
+             "dur": 3000, "ts": 10},
+            {"ph": "X", "pid": 1, "tid": 3, "name": "copy.2",
+             "dur": 1500, "ts": 20},
+            # host-side event must be excluded
+            {"ph": "M", "pid": 2, "name": "process_name",
+             "args": {"name": "/host:CPU"}},
+            {"ph": "M", "pid": 2, "tid": 1, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            {"ph": "X", "pid": 2, "tid": 1, "name": "hostop",
+             "dur": 9999, "ts": 0},
+        ]
+    }
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    parse(str(tmp_path), top=5, steps=3)
+    out = capsys.readouterr().out
+    assert "total device op time: 2.50 ms/step" in out  # (6000+1500)/1e3/3
+    assert "fusion.1" in out and "hostop" not in out
