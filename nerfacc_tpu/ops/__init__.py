@@ -14,9 +14,17 @@ from .occ_query import (
     occupancy_query_pallas,
     occupancy_query_ref,
 )
+from .table_grad import (
+    hash_table_lookup_sized,
+    table_grad_ref,
+    table_grad_sorted,
+)
 
 __all__ = [
     "bitpack_grid",
     "occupancy_query_pallas",
     "occupancy_query_ref",
+    "hash_table_lookup_sized",
+    "table_grad_ref",
+    "table_grad_sorted",
 ]
