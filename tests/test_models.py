@@ -467,3 +467,36 @@ def test_fused_pallas_table_grad_matches_scatter():
     np.testing.assert_allclose(
         np.asarray(g_pb), np.asarray(g_s), atol=2e-2 * denom
     )
+
+
+def test_fused_pallas_grad_with_paired_levels():
+    """Pallas table gradient composes with chunk-paired coarse encoding:
+    the paired path calls the lookup with a nonzero level base (zero-padded
+    gradient block placement)."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=1024)
+    enc_s = HashGridEncoderFused(**kw, table_grad="scatter")
+    enc_p = HashGridEncoderFused(**kw, table_grad="pallas")
+    rng = np.random.default_rng(1)
+    o = rng.uniform(0.3, 0.7, (64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = 1e-3 * np.arange(4, dtype=np.float32)
+    x = jnp.asarray(
+        (o[:, None, :] + t[None, :, None] * d[:, None, :]).reshape(-1, 3)
+    )
+    params = enc_s.init(jax.random.PRNGKey(0), x[:8])
+    ct = jnp.asarray(
+        rng.standard_normal((x.shape[0], enc_s.latent_dim)).astype(np.float32)
+    )
+
+    def loss(p, enc):
+        return (enc.apply(p, x, paired_levels=2) * ct).sum()
+
+    g_s = jax.grad(loss)(params, enc_s)["params"]["table"]
+    g_p = jax.grad(loss)(params, enc_p)["params"]["table"]
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_s), rtol=1e-5, atol=1e-5
+    )
