@@ -14,13 +14,27 @@ update overhead.  ``vs_baseline`` = ours / 19.5e6.
 
 Env knobs: BENCH_ENCODER/BENCH_LEVELS/BENCH_FEATS/BENCH_LOG2T/BENCH_MACROK/
 BENCH_SKIPF (field + traversal config), BENCH_QUALITY=0 to skip the
-time-to-PSNR phase, BENCH_PSNR_TARGET (default 30).
+time-to-PSNR phase, BENCH_PSNR_TARGET (default 33 — reference class,
+``ngp.rst:17-48``), BENCH_Q_W/BENCH_Q_RAYS/BENCH_Q_STEPS (quality
+workload: 800x800 textured procedural views, 8k-ray batches),
+BENCH_DELTA_STEPS (fused-vs-hash parity runs; 0 disables).
+
+Resilience: the TPU is reached through a relay that sometimes fails to
+initialize (UNAVAILABLE at first device use) or wedges.  The top-level
+process therefore runs the actual benchmark in a CHILD process and retries
+with waits on failure (never restarting the relay, per the documented
+protocol); the child prints a *partial* JSON record after the throughput
+phase so a later crash still leaves a usable number.  Whatever happens,
+stdout ends with exactly one parseable JSON line (an ``error`` field on
+unrecoverable failure).  Knobs: BENCH_ATTEMPTS (default 4),
+BENCH_ATTEMPT_TIMEOUT seconds (default 2700), BENCH_RETRY_WAITS.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -77,6 +91,7 @@ def throughput_phase():
         n_features_per_level=n_feats,
         log2_hashmap_size=log2_t,
         compute_dtype=cdt,
+        table_grad=os.environ.get("BENCH_TGRAD", "auto"),
     )
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -211,193 +226,438 @@ def throughput_phase():
     }
 
 
+class _QualityRun:
+    """One NGP-occ training run on the reference-class procedural proxy.
+
+    The proxy matches the reference quality bar's *shape*
+    (``ngp.rst:17-48``: 800x800 views, 33 dB class): textured analytic
+    scene (multi-octave color + density ripples — fine levels and table
+    capacity matter), 800x800 train/test views, 8k-ray batches.  Reported
+    times are train-time only (evals excluded), post-compile — matching
+    the reference's convention of timing training and evaluating after.
+    """
+
+    def __init__(self, train_ds, test_ds, encoder_cfg: dict, tag: str):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+        from nerfacc_tpu.models.ngp import NGPRadianceField
+        from nerfacc_tpu.rendering import occgrid_render_rays
+
+        self.jax, self.jnp, self.np = jax, jnp, np
+        self.tag = tag
+        aabb = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+        self.render_step_size = 5e-3
+        num_rays = train_ds.num_rays
+        sample_capacity = num_rays * 32
+        self.train_ds, self.test_ds = train_ds, test_ds
+
+        estimator = OccGridEstimator(roi_aabb=aabb, resolution=64, levels=1)
+        self.estimator = estimator
+        self.occ_state = estimator.init()
+        field = NGPRadianceField(
+            aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
+            compute_dtype=(
+                jnp.bfloat16
+                if os.environ.get("BENCH_DTYPE", "bf16")
+                in ("bf16", "bfloat16")
+                else None
+            ),
+            table_grad=os.environ.get("BENCH_TGRAD", "auto"),
+            **encoder_cfg,
+        )
+        self.field = field
+        key = jax.random.PRNGKey(42)
+        key, sub = jax.random.split(key)
+        self.params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+        self.key = key
+        tx = optax.adam(1e-2, eps=1e-15)
+        self.tx = tx
+        self.opt_state = tx.init(self.params)
+
+        def make_fns(params, rays_o, rays_d):
+            def rgb_sigma_fn(ts, te, ri):
+                x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+                rgb, sigma = field.apply(params, x, rays_d[ri])
+                return rgb, sigma[..., 0]
+
+            return rgb_sigma_fn
+
+        kwargs = dict(
+            near_plane=train_ds.near,
+            far_plane=train_ds.far,
+            render_step_size=self.render_step_size,
+        )
+
+        @jax.jit
+        def train_step(params, opt_state, occ_state, rays_o, rays_d,
+                       pixels, bkgd, key):
+            def loss_fn(p):
+                rgb_sigma_fn = make_fns(p, rays_o, rays_d)
+                colors, _, _, n_samp, _ = occgrid_render_rays(
+                    rgb_sigma_fn, None, estimator, occ_state, rays_o,
+                    rays_d, render_bkgd=bkgd, stratified=True, key=key,
+                    sample_capacity=sample_capacity,
+                    # Per-scene macro budget: this scene is solid blobs
+                    # (~12 occupied macro segments through centers; K=5
+                    # truncates training at 16 dB, measured round 2).
+                    max_macro_segments=int(
+                        os.environ.get("BENCH_MACROK_Q", "24")
+                    ),
+                    **kwargs,
+                )
+                return (
+                    optax.huber_loss(colors, pixels, delta=1.0).mean(),
+                    n_samp,
+                )
+
+            (loss, n_samp), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (
+                optax.apply_updates(params, updates), opt_state, loss, n_samp
+            )
+
+        @functools.partial(jax.jit, static_argnames=("warmup",))
+        def occ_update(occ_state, params, key, warmup: bool):
+            occ_eval_fn = (
+                lambda x: field.apply(params, x, method="query_density")
+                * self.render_step_size
+            )
+            return estimator._update(
+                occ_state, step=0 if warmup else 10**9,
+                occ_eval_fn=occ_eval_fn, key=key, warmup_steps=1,
+            )
+
+        eval_chunk = 16384
+
+        @jax.jit
+        def eval_render(params, occ_state, rays_o, rays_d):
+            rgb_sigma_fn = make_fns(params, rays_o, rays_d)
+            colors, _, _, _, _ = occgrid_render_rays(
+                rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
+                render_bkgd=jnp.ones(3), sample_capacity=eval_chunk * 48,
+                max_macro_segments=int(os.environ.get("BENCH_MACROK_Q", "24")),
+                **kwargs,
+            )
+            return colors
+
+        self._train_step, self._occ_update = train_step, occ_update
+
+        test_batch = test_ds[0]
+        flat_o = np.asarray(test_batch["rays"].origins).reshape(-1, 3)
+        flat_d = np.asarray(test_batch["rays"].viewdirs).reshape(-1, 3)
+        self._target = np.asarray(test_batch["pixels"]).reshape(-1, 3)
+        n = flat_o.shape[0]
+        pad = (-n) % eval_chunk
+        flat_o = np.concatenate([flat_o, np.broadcast_to(flat_o[-1:], (pad, 3))])
+        flat_d = np.concatenate([flat_d, np.broadcast_to(flat_d[-1:], (pad, 3))])
+        self._eval_n = n
+        self._flat_o = jnp.asarray(flat_o)
+        self._flat_d = jnp.asarray(flat_d)
+        self._eval_chunk = eval_chunk
+        self._eval_render = eval_render
+
+        self.train_elapsed = 0.0  # train-time only (evals excluded)
+        self.step = 0
+
+    def eval_psnr(self) -> float:
+        # Dispatch all chunks, concatenate on device, ONE host read (a
+        # per-chunk np.asarray would serialize ~40 tunnel round-trips).
+        jnp = self.jnp
+        outs = [
+            self._eval_render(
+                self.params, self.occ_state,
+                self._flat_o[i : i + self._eval_chunk],
+                self._flat_d[i : i + self._eval_chunk],
+            )
+            for i in range(0, self._flat_o.shape[0], self._eval_chunk)
+        ]
+        img = np.asarray(jnp.concatenate(outs))[: self._eval_n]
+        mse = float(np.mean((img - self._target) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-10))
+
+    def compile(self):
+        """Run one of each graph so the training clock excludes compiles."""
+        jax = self.jax
+        occ0 = self._occ_update(
+            self.occ_state, self.params, self.key, warmup=True
+        )
+        batch = self.train_ds[0]
+        p0, o0, _, _ = self._train_step(
+            self.params, self.opt_state, occ0, batch["rays"].origins,
+            batch["rays"].viewdirs, batch["pixels"], batch["color_bkgd"],
+            jax.random.PRNGKey(0),
+        )
+        jax.block_until_ready(p0)
+        _ = self.eval_psnr()
+
+    def train(self, n_steps: int):
+        """Advance ``n_steps`` training steps (timed, no evals inside)."""
+        jax = self.jax
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            step = self.step
+            if step % 16 == 0:
+                self.key, sub = jax.random.split(self.key)
+                self.occ_state = self._occ_update(
+                    self.occ_state, self.params, sub, warmup=step < 256
+                )
+            batch = self.train_ds[step % len(self.train_ds)]
+            self.key, sub = jax.random.split(self.key)
+            self.params, self.opt_state, _, _ = self._train_step(
+                self.params, self.opt_state, self.occ_state,
+                batch["rays"].origins, batch["rays"].viewdirs,
+                batch["pixels"], batch["color_bkgd"], sub,
+            )
+            self.step += 1
+        jax.block_until_ready(self.params)
+        self.train_elapsed += time.perf_counter() - t0
+
+
 def quality_phase(psnr_target: float):
-    """Train the procedural NGP-occ workload until eval PSNR hits the target;
-    report wall-clock (post-compile) — the time-to-quality north star."""
-    import jax
-    import jax.numpy as jnp
-    import optax
+    """Reference-class quality gate + encoder-parity deltas.
 
+    Returns ``{psnr_target, time_to_psnr_s, final_psnr,
+    hash_equal_step_delta_db, hash_equal_time_delta_db}``: wall-clock
+    (train-only) to the target PSNR on the textured 800x800 procedural
+    proxy, plus the fused-encoder quality gap vs the tcnn-parity hash
+    encoder at equal steps and equal wall-clock (VERDICT r2 #4).
+    Knobs: BENCH_Q_W/BENCH_Q_RAYS/BENCH_Q_STEPS/BENCH_Q_EVERY/
+    BENCH_DELTA_STEPS (0 skips the parity runs).
+    """
     from nerfacc_tpu.datasets.procedural import make_loaders
-    from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
-    from nerfacc_tpu.models.ngp import NGPRadianceField
-    from nerfacc_tpu.rendering import occgrid_render_rays
 
-    aabb = np.array([-1, -1, -1, 1, 1, 1], np.float32)
-    num_rays = 4096
-    render_step_size = 5e-3
-    sample_capacity = num_rays * 32
-    max_steps = 3000
-    eval_every = 100
+    width = int(os.environ.get("BENCH_Q_W", "800"))
+    num_rays = int(os.environ.get("BENCH_Q_RAYS", "8192"))
+    max_steps = int(os.environ.get("BENCH_Q_STEPS", "6000"))
+    eval_every = int(os.environ.get("BENCH_Q_EVERY", "200"))
+    delta_steps = int(os.environ.get("BENCH_DELTA_STEPS", "400"))
 
     train_ds, test_ds = make_loaders(
-        num_rays=num_rays, width=160, height=160, n_train=36, n_test=1
+        num_rays=num_rays, width=width, height=width, n_train=36, n_test=1,
+        detail=1.0,
     )
-    near, far = train_ds.near, train_ds.far
-    estimator = OccGridEstimator(roi_aabb=aabb, resolution=64, levels=1)
-    occ_state = estimator.init()
-    field = NGPRadianceField(
-        aabb=tuple(np.asarray(estimator._aabbs_np[-1]).tolist()),
+    print(f"  quality: dataset ready ({width}x{width}, 36 views)", flush=True)
+
+    main_cfg = dict(
         encoder_type=os.environ.get("BENCH_ENCODER", "fused"),
         n_levels=int(os.environ.get("BENCH_LEVELS", "4")),
         n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
         log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
-        compute_dtype=(
-            jnp.bfloat16
-            if os.environ.get("BENCH_DTYPE", "bf16") in ("bf16", "bfloat16")
-            else None
-        ),
     )
-    key = jax.random.PRNGKey(42)
-    key, sub = jax.random.split(key)
-    params = field.init(sub, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
-    tx = optax.adam(1e-2, eps=1e-15)
-    opt_state = tx.init(params)
+    run = _QualityRun(train_ds, test_ds, main_cfg, tag="fused")
+    run.compile()
 
-    def make_fns(params, rays_o, rays_d):
-        def sigma_fn(ts, te, ri):
-            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            return field.apply(params, x, method="query_density")[..., 0]
-
-        def rgb_sigma_fn(ts, te, ri):
-            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            rgb, sigma = field.apply(params, x, rays_d[ri])
-            return rgb, sigma[..., 0]
-
-        return sigma_fn, rgb_sigma_fn
-
-    kwargs = dict(
-        near_plane=near,
-        far_plane=far,
-        render_step_size=render_step_size,
-    )
-
-    @jax.jit
-    def train_step(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key):
-        def loss_fn(p):
-            _, rgb_sigma_fn = make_fns(p, rays_o, rays_d)
-            colors, _, _, n_samp, _ = occgrid_render_rays(
-                rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
-                render_bkgd=bkgd, stratified=True, key=key,
-                sample_capacity=sample_capacity,
-                # The macro budget is a per-scene traversal parameter: the
-                # throughput phase's thin shell is covered by K=5, but this
-                # procedural scene is a SOLID ball (~12 occupied macro
-                # segments through the center — K=5 truncates training to
-                # 16 dB, measured).  Quality keeps its own knob.
-                max_macro_segments=int(os.environ.get("BENCH_MACROK_Q", "24")),
-                **kwargs,
-            )
-            return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
-
-        (loss, n_samp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, n_samp
-
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("warmup",))
-    def occ_update(occ_state, params, key, warmup: bool):
-        occ_eval_fn = (
-            lambda x: field.apply(params, x, method="query_density")
-            * render_step_size
-        )
-        return estimator._update(
-            occ_state,
-            step=0 if warmup else 10**9,
-            occ_eval_fn=occ_eval_fn,
-            key=key,
-            warmup_steps=1,
-        )
-
-    @jax.jit
-    def eval_render(params, occ_state, rays_o, rays_d):
-        _, rgb_sigma_fn = make_fns(params, rays_o, rays_d)
-        colors, _, _, _, _ = occgrid_render_rays(
-            rgb_sigma_fn, None, estimator, occ_state, rays_o, rays_d,
-            render_bkgd=jnp.ones(3), sample_capacity=4096 * 64, **kwargs,
-        )
-        return colors
-
-    test_batch = test_ds[0]
-    test_rays = test_batch["rays"]
-    flat_o = test_rays.origins.reshape(-1, 3)
-    flat_d = test_rays.viewdirs.reshape(-1, 3)
-    target = np.asarray(test_batch["pixels"]).reshape(-1, 3)
-
-    def eval_psnr(params, occ_state):
-        outs = []
-        for i in range(0, flat_o.shape[0], 4096):
-            outs.append(
-                np.asarray(
-                    eval_render(
-                        params, occ_state, flat_o[i : i + 4096], flat_d[i : i + 4096]
-                    )
-                )
-            )
-        img = np.concatenate(outs)
-        mse = float(np.mean((img - target) ** 2))
-        return -10.0 * np.log10(max(mse, 1e-10))
-
-    # Compile everything once before the clock starts.
-    occ_state = occ_update(occ_state, params, key, warmup=True)
-    batch = train_ds[0]
-    p0, o0, _, _ = train_step(
-        params, opt_state, occ_state, batch["rays"].origins,
-        batch["rays"].viewdirs, batch["pixels"], batch["color_bkgd"],
-        jax.random.PRNGKey(0),
-    )
-    jax.block_until_ready(p0)
-    _ = eval_psnr(p0, occ_state)
-
-    t0 = time.perf_counter()
     reached = None
     psnr_val = 0.0
-    for step in range(max_steps + 1):
-        if step % 16 == 0:
-            key, sub = jax.random.split(key)
-            occ_state = occ_update(occ_state, params, sub, warmup=step < 256)
-        batch = train_ds[step % len(train_ds)]
-        key, sub = jax.random.split(key)
-        params, opt_state, loss, n_samp = train_step(
-            params, opt_state, occ_state, batch["rays"].origins,
-            batch["rays"].viewdirs, batch["pixels"], batch["color_bkgd"], sub,
+    psnr_at_delta = None
+    time_at_delta = None
+    while run.step < max_steps:
+        n = min(eval_every, max_steps - run.step)
+        if delta_steps and run.step < delta_steps:
+            n = min(n, delta_steps - run.step)
+        run.train(n)
+        psnr_val = run.eval_psnr()
+        print(
+            f"  quality[{run.tag}]: step={run.step} psnr={psnr_val:.2f} "
+            f"t={run.train_elapsed:.1f}s", flush=True,
         )
-        if step > 0 and step % eval_every == 0:
-            psnr_val = eval_psnr(params, occ_state)
-            elapsed = time.perf_counter() - t0
-            print(f"  quality: step={step} psnr={psnr_val:.2f} t={elapsed:.1f}s",
-                  flush=True)
-            if psnr_val >= psnr_target:
-                reached = elapsed
+        if delta_steps and run.step == delta_steps and psnr_at_delta is None:
+            psnr_at_delta = psnr_val
+            time_at_delta = run.train_elapsed
+        if psnr_val >= psnr_target and reached is None:
+            reached = run.train_elapsed
+            if psnr_at_delta is not None:
                 break
-    return {
+    out = {
         "psnr_target": psnr_target,
         "time_to_psnr_s": round(reached, 1) if reached is not None else None,
         "final_psnr": round(psnr_val, 2),
     }
 
+    if delta_steps and psnr_at_delta is not None:
+        # tcnn-parity encoder (scalar-exact hash, reference NGP config,
+        # ngp.py:99-137) trained on the same data: equal-step and
+        # equal-wall-clock PSNR deltas quantify what the fast fused
+        # layout trades for its speed.
+        hash_cfg = dict(
+            encoder_type=os.environ.get("BENCH_DELTA_ENCODER", "hash"),
+            n_levels=16, n_features_per_level=2, log2_hashmap_size=19,
+        )
+        ref = _QualityRun(train_ds, test_ds, hash_cfg, tag="hash")
+        ref.compile()
+        psnr_h_step = None
+        psnr_h_time = None
+        while ref.step < 4 * delta_steps:
+            n = (
+                min(100, delta_steps - ref.step)
+                if ref.step < delta_steps
+                else 100
+            )
+            if psnr_h_time is None and ref.step > 0:
+                # Aim the equal-WALL-CLOCK eval at the fused run's elapsed
+                # train time without overshooting by a whole chunk.
+                per = ref.train_elapsed / ref.step
+                to_time = int((time_at_delta - ref.train_elapsed) / per) + 1
+                if to_time <= n:
+                    n = max(1, to_time)
+            ref.train(n)
+            p = ref.eval_psnr()
+            print(
+                f"  quality[{ref.tag}]: step={ref.step} psnr={p:.2f} "
+                f"t={ref.train_elapsed:.1f}s", flush=True,
+            )
+            if ref.step >= delta_steps and psnr_h_step is None:
+                psnr_h_step = p
+            if ref.train_elapsed >= time_at_delta and psnr_h_time is None:
+                psnr_h_time = p
+            if psnr_h_step is not None and psnr_h_time is not None:
+                break
+        if psnr_h_step is not None:
+            out["hash_equal_step_delta_db"] = round(
+                psnr_at_delta - psnr_h_step, 2
+            )
+        if psnr_h_time is not None:
+            out["hash_equal_time_delta_db"] = round(
+                psnr_at_delta - psnr_h_time, 2
+            )
+        out["psnr_at_delta_steps"] = round(psnr_at_delta, 2)
+        out["delta_steps"] = delta_steps
+    return out
 
-def main():
+
+BASELINE_SPS = 19.5e6  # reference: 2^18 samples/step * 20k steps / 269 s
+
+
+def _error_record(msg: str) -> dict:
+    return {
+        "metric": "ngp_occ_train_samples_per_sec",
+        "value": 0.0,
+        "unit": "samples/s (fwd+bwd, incl. occ-update overhead)",
+        "vs_baseline": 0.0,
+        "error": msg[:400],
+    }
+
+
+def child_main():
+    """The actual benchmark. Prints a partial JSON record after the
+    throughput phase, then the final one; the parent keeps the last
+    parseable line it sees."""
+    # Fail fast (and cheap) if the backend can't come up at all.
+    import jax
+
+    if os.environ.get("BENCH_CPU") == "1":  # dev-check smoke path
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    jnp.ones((8,), jnp.float32).sum().block_until_ready()
+    print(f"backend up: {jax.devices()[0].platform}", file=sys.stderr, flush=True)
+
     out = throughput_phase()
-    baseline = 19.5e6  # reference: 2^18 samples/step * 20k steps / 269 s
     record = {
         "metric": "ngp_occ_train_samples_per_sec",
         "encoder": out["encoder"],
         "value": round(out["samples_per_sec"], 1),
         "unit": "samples/s (fwd+bwd, incl. occ-update overhead)",
-        "vs_baseline": round(out["samples_per_sec"] / baseline, 3),
+        "vs_baseline": round(out["samples_per_sec"] / BASELINE_SPS, 3),
         "step_ms": out["step_ms"],
         "occ_update_ms": out["occ_update_ms"],
     }
     if os.environ.get("BENCH_QUALITY", "1") != "0":
+        print(json.dumps(dict(record, partial=True)), flush=True)
         try:
             record.update(
-                quality_phase(float(os.environ.get("BENCH_PSNR_TARGET", "30")))
+                quality_phase(float(os.environ.get("BENCH_PSNR_TARGET", "33")))
             )
         except Exception as e:  # keep the primary metric even if phase 2 dies
             record["quality_error"] = repr(e)[:200]
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
+
+
+def _last_json_line(text: str):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and "metric" in rec:
+                return rec
+    return None
+
+
+def parent_main():
+    """Retry harness: run child_main in a subprocess with bounded retries
+    and waits (the relay protocol: wait, never restart). Always ends stdout
+    with one parseable JSON line."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
+    waits = [
+        float(w)
+        for w in os.environ.get("BENCH_RETRY_WAITS", "120,300,600").split(",")
+    ]
+    best = None
+    last_err = "no attempts ran"
+    for attempt in range(attempts):
+        print(f"[bench] attempt {attempt + 1}/{attempts}", file=sys.stderr,
+              flush=True)
+        env = dict(os.environ, BENCH_CHILD="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, start_new_session=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            # Last resort: kill the exact process group we started. A killed
+            # TPU process can wedge the relay, so follow with an extra wait.
+            import signal
+
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            out, _ = proc.communicate()
+            rc = "timeout"
+        sys.stderr.write(out[-4000:] if out else "")
+        rec = _last_json_line(out or "")
+        if rec is not None and "error" not in rec:
+            if not rec.get("partial"):
+                print(json.dumps(rec), flush=True)
+                return
+            best = rec  # throughput number survived; quality phase died
+        last_err = f"attempt {attempt + 1} rc={rc}; tail: {(out or '')[-300:]}"
+        if attempt + 1 < attempts:
+            wait = waits[min(attempt, len(waits) - 1)]
+            if rc == "timeout":
+                wait += 120.0  # extra settle time after a killed TPU process
+            print(f"[bench] waiting {wait:.0f}s before retry", file=sys.stderr,
+                  flush=True)
+            time.sleep(wait)
+    if best is not None:
+        best.pop("partial", None)
+        best["quality_error"] = "quality phase did not complete in any attempt"
+        print(json.dumps(best), flush=True)
+    else:
+        print(json.dumps(_error_record(last_err)), flush=True)
+
+
+def main():
+    if os.environ.get("BENCH_CHILD") == "1":
+        child_main()
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

@@ -258,11 +258,14 @@ def main():
         alpha_thre=cfg["alpha_thre"],
     )
 
-    @jax.jit
-    def train_step(params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key):
+    @functools.partial(jax.jit, static_argnames=("max_macro",))
+    def train_step(
+        params, opt_state, occ_state, rays_o, rays_d, pixels, bkgd, key,
+        max_macro: int = 24,
+    ):
         def loss_fn(p):
             sigma_fn, rgb_sigma_fn = make_fns(p, rays_o, rays_d)
-            colors, _, depths, n_samp, _ = occgrid_render_rays(
+            colors, _, depths, n_samp, extras = occgrid_render_rays(
                 rgb_sigma_fn,
                 sigma_fn,
                 estimator,
@@ -273,18 +276,19 @@ def main():
                 stratified=True,
                 key=key,
                 sample_capacity=sample_capacity,
+                max_macro_segments=max_macro,
                 **render_kwargs,
             )
             loss = optax.huber_loss(colors, pixels, delta=1.0).mean()
             mse = jnp.mean((colors - pixels) ** 2)
-            return loss, (n_samp, mse)
+            return loss, (n_samp, mse, extras["macro_truncated_frac"])
 
-        (loss, (n_samp, mse)), grads = jax.value_and_grad(
+        (loss, (n_samp, mse, trunc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, n_samp, mse
+        return params, opt_state, loss, n_samp, mse, trunc
 
     @functools.partial(jax.jit, static_argnames=("warmup",))
     def occ_update(occ_state, params, key, warmup: bool):
@@ -318,14 +322,31 @@ def main():
 
     timer = Timer()
     log_every = max(1, max_steps // 10)
+    # Macro-segment budget: starts at the config default and auto-escalates
+    # when rays report truncated tails (silent quality loss otherwise —
+    # the reference's DDA never truncates, grid.cu:184-272).  Escalation
+    # retraces train_step once per doubling (bounded by the 64 cap).
+    max_macro = 24
+    trunc = None
     for step in range(start_step, max_steps + 1):
         if step % 16 == 0:
             key, sub = jax.random.split(key)
             occ_state = occ_update(occ_state, params, sub, warmup=step < 256)
+            # Check the previous step's truncation signal at occ-update
+            # cadence (avoids a per-step host sync).
+            if trunc is not None and max_macro < 64:
+                trunc_frac = float(trunc)
+                if trunc_frac > 1e-3:
+                    max_macro = min(64, max_macro * 2)
+                    print(
+                        f"step={step}: {trunc_frac:.1%} of rays macro-"
+                        f"truncated; raising max_macro_segments to "
+                        f"{max_macro} (retraces once)"
+                    )
         batch = train_ds[step % len(train_ds)]
         rays = batch["rays"]
         key, sub = jax.random.split(key)
-        params, opt_state, loss, n_samp, mse = train_step(
+        params, opt_state, loss, n_samp, mse, trunc = train_step(
             params,
             opt_state,
             occ_state,
@@ -334,6 +355,7 @@ def main():
             batch["pixels"],
             batch["color_bkgd"],
             sub,
+            max_macro=max_macro,
         )
         if step % log_every == 0:
             train_psnr = -10.0 * np.log10(max(float(mse), 1e-10))
@@ -358,7 +380,11 @@ def main():
         m = eval_metrics(img, batch["pixels"])
         psnrs.append(m["psnr"])
         ssims.append(m["ms_ssim"])
-        extra = f" lpips {m['lpips']:.4f}" if "lpips" in m else ""
+        extra = (
+            f" lpips({m.get('lpips_src', '?')}) {m['lpips']:.4f}"
+            if "lpips" in m
+            else ""
+        )
         print(
             f"  eval img {i}: PSNR {m['psnr']:.2f} ssim {m['ssim']:.4f} "
             f"ms-ssim {m['ms_ssim']:.4f}{extra}"

@@ -19,7 +19,15 @@ from .utils import Rays, generate_rays
 
 
 def similarity_from_cameras(c2w: np.ndarray, strict_scaling: bool = False):
-    """Normalizing similarity transform (``nerf_360_v2.py:140-197``)."""
+    """Normalizing similarity transform (``nerf_360_v2.py:140-197``).
+
+    This numerical recipe (up-axis alignment via Rodrigues rotation,
+    origin recentering from the camera-axis closest points, median/max
+    scale) originates from nerf-factory
+    (https://github.com/kakaobrain/nerf-factory), which the reference
+    credits; it is reproduced exactly because downstream occupancy-grid
+    AABBs depend on this conditioning.
+    """
     t = c2w[:, :3, 3]
     R = c2w[:, :3, :3]
 

@@ -83,9 +83,24 @@ class OccGridEstimator(AbstractEstimator):
         assert len(resolution) == self.DIM
         # Largest factor <= requested that divides every axis (1 always
         # does) — build_skip_grid requires exact divisibility.
-        skip_factor = max(1, int(skip_factor))
+        requested_skip = max(1, int(skip_factor))
+        skip_factor = requested_skip
         while any(r % skip_factor for r in resolution):
             skip_factor -= 1
+        if skip_factor != requested_skip:
+            import warnings
+
+            warnings.warn(
+                f"skip_factor={requested_skip} does not divide resolution "
+                f"{resolution}; lowered to {skip_factor}"
+                + (
+                    " (macro-skip degraded to a full-resolution coarse grid"
+                    " — expect slower traversal)"
+                    if skip_factor == 1
+                    else ""
+                ),
+                stacklevel=2,
+            )
         self.skip_factor = skip_factor
         roi_aabb = np.asarray(roi_aabb, dtype=np.float32)
         assert roi_aabb.shape[0] == self.DIM * 2
@@ -158,12 +173,19 @@ class OccGridEstimator(AbstractEstimator):
         (see :func:`~nerfacc_tpu.grid.build_skip_grid`); the geometric
         (cone) ladder uses a fixed stride of 16 — there segment span and
         mip cell size both grow ~ t, and the traversal probes 4 points per
-        segment to stay conservative.
+        segment to stay conservative.  That 4-probe test is only
+        conservative while the quarter-segment span (~4*cone*t) stays under
+        the dilated skip-cell size (~2*skip_factor*t/res), so for
+        ``cone_angle > skip_factor / (2*res)`` macro-skip is disabled
+        (falling back to the dense lattice) rather than risk pruning
+        occupied segments.
         """
         lattice = num_ladder_steps(
             self.max_t_range, render_step_size, cone_angle, near=near_plane
         )
         use_skip = has_skip_grid
+        if cone_angle > self.skip_factor / (2.0 * max(self.resolution)):
+            use_skip = False
         if use_skip and cone_angle <= 0.0:
             cell0 = float(
                 (self.roi_aabb[3] - self.roi_aabb[0]) / self.resolution[0]
@@ -206,6 +228,8 @@ class OccGridEstimator(AbstractEstimator):
         key: Optional[jax.Array] = None,
         max_samples: Optional[int] = None,
         sample_capacity: Optional[int] = None,
+        max_macro_segments: int = 24,
+        use_macro_skip: bool = True,
     ) -> Tuple[Array, Array, Array, Array]:
         """Sample along rays with empty-space skipping.
 
@@ -219,6 +243,16 @@ class OccGridEstimator(AbstractEstimator):
         (:func:`~nerfacc_tpu.grid.traverse_and_compact`) — identical to what
         the train driver :func:`~nerfacc_tpu.rendering.occgrid_render_rays`
         runs, so composing via this public API costs the same as the driver.
+
+        TRUNCATION CAVEAT: with macro-skip on, rays crossing more than
+        ``max_macro_segments`` occupied macro segments lose their tail
+        samples (the reference's traverse_steps_limit contract never
+        truncates this way).  Dense scenes need a larger budget (a solid
+        ball needs ~24; the default).  Tune ``max_macro_segments`` per
+        scene — or set ``use_macro_skip=False`` to traverse the dense
+        lattice — and watch the truncated-ray fraction that
+        :func:`~nerfacc_tpu.rendering.occgrid_render_rays` reports in
+        ``extras['macro_truncated_frac']``.
 
         Not differentiable (wrap calls in ``stop_gradient`` contexts).
         """
@@ -242,7 +276,9 @@ class OccGridEstimator(AbstractEstimator):
                 cone_angle,
                 near_plane,
                 max_samples_per_ray=max_samples,
-                has_skip_grid=state.skip_grid is not None,
+                max_macro_segments=max_macro_segments,
+                has_skip_grid=use_macro_skip
+                and state.skip_grid is not None,
             )
         )
         capacity = sample_capacity or (n_rays * row_cap)

@@ -365,6 +365,11 @@ class CompactSamples(NamedTuple):
     far_effective: Array  # (n_rays,)
     seg_starts: Array  # (n_rays,) int32 first slot of each ray's samples
     seg_counts: Array  # (n_rays,) int32 slots spanned (chunk-aligned)
+    # Rays that crossed more occupied macro segments than the
+    # ``max_macro_segments`` budget — their tail samples were dropped
+    # (silent quality loss if ignored; the CUDA DDA never truncates,
+    # grid.cu:184-272).  Always False when macro-skip is off.
+    macro_truncated: Array  # (n_rays,) bool
 
 
 def traverse_and_compact(
@@ -515,6 +520,7 @@ def traverse_and_compact(
         t1_full = _ladder_at(near[:, None], lat + 1, step_size, cone_angle)
         t_mid = (t0_full + t1_full) * 0.5
         live = None
+        macro_truncated = jnp.zeros((n_rays,), bool)
         lattice_end = _ladder_at(
             near, jnp.full((n_rays,), width, jnp.int32), step_size, cone_angle
         )
@@ -636,6 +642,7 @@ def traverse_and_compact(
         far_effective=far,
         seg_starts=seg_lo_c * C,
         seg_counts=(seg_hi_c - seg_lo_c) * C,
+        macro_truncated=macro_truncated,
     )
 
 

@@ -70,13 +70,18 @@ class TimeAwareVoxelGrid(nn.Module):
 
         outs = []
         for s in self.strides:
-            rs = R // s  # sub-lattice points per axis
-            # Cell coords on the stride-s lattice (align-corners-true over
-            # the sub-lattice so stride taps nest exactly).
+            # Sub-lattice of every s'th grid row.  Grid row j sits at world
+            # coordinate j/(R-1) (align-corners, shared by every stride), so
+            # sub-lattice cell coords scale by (R-1)/s — row k*s then
+            # represents the SAME world position at every stride.  The last
+            # partial cell (when s does not divide R-1) clamps to the final
+            # full sub-cell.
+            ks = (R - 1) // s  # last sub-lattice index with k*s <= R-1
+
             def prep(c):
-                cf = jnp.clip(c, 0.0, 1.0) * (rs - 1)
-                c0 = jnp.clip(jnp.floor(cf), 0, rs - 2).astype(jnp.int32)
-                return c0, cf - c0
+                cf = jnp.clip(c, 0.0, 1.0) * (R - 1) / s
+                c0 = jnp.clip(jnp.floor(cf), 0, ks - 1).astype(jnp.int32)
+                return c0, jnp.clip(cf - c0, 0.0, 1.0)
 
             cx, wx = prep(xs)
             cy, wy = prep(ys)

@@ -224,8 +224,8 @@ def table_grad_sorted(
             num_scalar_prefetch=4,
             grid=(n_slots,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (W, _LANE), lambda s, wid, off, first, valid: (wid[s], 0)
@@ -363,3 +363,287 @@ def hash_table_lookup_sized(
         int(table.shape[0]), name, interpret, int(level_span),
         int(n_levels), int(level_base),
     )(table, idx)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 factor path: consume (w, dout) residuals directly (VERDICT r2 #2).
+#
+# The round-2 kernel above ties with XLA's scatter end-to-end because
+# permuting the materialized (N, 128) cotangent payload into sorted order
+# costs 22.5 ms (unique-access 256 B rows, ~48 GB/s).  But that payload is
+# RANK-1 per sample: dg_i = w_i (8,) ⊗ dout_i (F,).  This path therefore
+# never materializes dg at all — the custom VJP wraps lookup+combine, sorts
+# per level, permutes only a packed (N, 8+F) bf16 factor array (4x fewer
+# bytes per row), and rebuilds each 128-sample cotangent tile INSIDE the
+# kernel with two 0/1-placement MXU matmuls before the windowed one-hot
+# reduction.  Reference capability anchor: tiny-cuda-nn's fused encoder
+# backward (examples/radiance_fields/ngp.py:99-137).
+# ---------------------------------------------------------------------------
+
+
+def _factor_kernel(
+    wid_ref,  # scalar-prefetch (n_slots,) i32
+    off_ref,  # scalar-prefetch (n_slots,) i32
+    first_ref,  # scalar-prefetch (n_slots,) i32
+    valid_ref,  # scalar-prefetch (n_slots,) i32
+    idx_hbm,  # (n_pad/128, 128) i32 in ANY
+    pf_hbm,  # (n_payload, 32) packed factors [w8 | doutF | pad] in ANY
+    out_ref,  # (W, 128) f32 block for this slot's window
+    idx_vmem,  # scratch (CH/128, 128) i32
+    pf_vmem,  # scratch (CH, 32) factor dtype
+    sems,  # DMA semaphores (2,)
+    *,
+    W: int,
+    CH: int,
+    F: int,
+):
+    s = pl.program_id(0)
+    off = pl.multiple_of(off_ref[s], CH)
+    row0 = pl.multiple_of(off // _LANE, CH // _LANE)
+
+    idx_dma = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(row0, CH // _LANE), :], idx_vmem, sems.at[0]
+    )
+    pf_dma = pltpu.make_async_copy(
+        pf_hbm.at[pl.ds(off, CH), :], pf_vmem, sems.at[1]
+    )
+    idx_dma.start()
+    pf_dma.start()
+    idx_dma.wait()
+    pf_dma.wait()
+
+    dt = pf_vmem.dtype
+    # 0/1 placement matrices: E spreads w lanes c -> lanes [c*F, (c+1)*F);
+    # T tiles dout lanes f -> lanes {c*F + f}.  dg_tile = (w@E) * (d@T)
+    # reconstructs the rank-1 outer product row-major in one VPU multiply.
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    E = (lane8 // F == sub8).astype(dt)
+    laneF = jax.lax.broadcasted_iota(jnp.int32, (F, _LANE), 1)
+    subF = jax.lax.broadcasted_iota(jnp.int32, (F, _LANE), 0)
+    T = (laneF % F == subF).astype(dt)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
+    w0 = wid_ref[s] * W
+    w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
+    mm = jnp.zeros((W, _LANE), jnp.float32)
+    for k in range(CH // _LANE):
+        sl = slice(k * _LANE, (k + 1) * _LANE)
+        we = jax.lax.dot_general(
+            pf_vmem[sl, 0:8], E,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de = jax.lax.dot_general(
+            pf_vmem[sl, 8 : 8 + F], T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg_tile = (we * de).astype(dt)  # (128, 128) cotangent tile
+        rel = idx_vmem[k, :] - w0  # (128,) lane vector
+        oh = (rel[None, :] == rows).astype(dt)  # (W, 128)
+        mm = mm + jax.lax.dot_general(
+            oh, dg_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[:] = mm
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + mm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "F", "W", "CH", "interpret")
+)
+def table_grad_factors_sorted(
+    sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
+    packed_sorted: Array,  # (N, 32) [w 0:8 | dout 8:8+F | pad], sorted order
+    *,
+    n_rows: int,
+    F: int = 16,
+    W: int = 512,
+    CH: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Per-row sums of the rank-1 cotangents ``w_i ⊗ dout_i`` grouped by
+    ``sorted_idx`` — (n_rows, 128) f32 — without ever materializing the
+    (N, 128) payload.  Layout contract: 8*F == 128 (the fused row width).
+    """
+    assert 8 * F == _LANE
+    assert n_rows % W == 0 and CH % _LANE == 0
+    assert packed_sorted.shape[1] == 32
+    n = sorted_idx.shape[0]
+    n_pad = -(-(n + CH) // CH) * CH
+    sorted_idx = jnp.concatenate(
+        [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
+    )
+    if n % CH:
+        packed_sorted = jnp.concatenate(
+            [
+                packed_sorted,
+                jnp.zeros((n_pad - n, 32), packed_sorted.dtype),
+            ]
+        )
+
+    NW = n_rows // W
+    n_slots = 2 * NW + n_pad // CH
+    wid, off, first, valid = _worklist(
+        sorted_idx, n_rows, W, CH, n_slots, packed_sorted.shape[0]
+    )
+
+    kernel = functools.partial(_factor_kernel, W=W, CH=CH, F=F)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (W, _LANE), lambda s, wid, off, first, valid: (wid[s], 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((CH, 32), packed_sorted.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * CH * (W + 24) * _LANE,
+            bytes_accessed=n_pad * 32 * packed_sorted.dtype.itemsize
+            + n_rows * _LANE * 4,
+            transcendentals=0,
+        ),
+    )(wid, off, first, valid, sorted_idx.reshape(-1, _LANE), packed_sorted)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sized_lookup_combine(
+    n_rows: int,
+    F: int,
+    compute_dtype_name: str,
+    interpret: bool,
+    level_span: int,
+    n_levels: int,
+    level_base: int,
+):
+    """custom_vjp for ``out[k, f] = sum_c w[k, c] * table_c[idx_k, c*F+f]``
+    whose table gradient runs :func:`table_grad_factors_sorted`.
+
+    The ``w`` cotangent is ZERO by contract: in every training path here the
+    sample positions come from rays and a stop-gradient traversal, so no
+    parameter lies upstream of ``w`` — skipping ``dw`` avoids a second table
+    gather.  Do NOT reuse this op where positions require gradients
+    (e.g. BARF pose refinement uses the parity encoders, not this path).
+    """
+    cdt = None if compute_dtype_name == "none" else jnp.dtype(
+        compute_dtype_name
+    )
+    span = level_span or n_rows
+    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+    fdt = jnp.bfloat16 if cdt is not None else jnp.float32
+
+    def plain(table, idx, w):
+        t = (table if cdt is None else table.astype(cdt))
+        g = jnp.take(t, idx, axis=0)
+        wc = w if cdt is None else w.astype(cdt)
+        return jnp.einsum(
+            "kc,kcf->kf", wc, g.reshape(g.shape[0], 8, F)
+        )
+
+    if W is None:
+        return plain
+
+    @jax.custom_vjp
+    def lookup_combine(table, idx, w):
+        return plain(table, idx, w)
+
+    def fwd(table, idx, w):
+        return lookup_combine(table, idx, w), (idx, w)
+
+    def bwd(res, dout):
+        idx, w = res
+        nlv = n_levels if level_span else 1
+        spn = level_span or n_rows
+        m = idx.shape[0] // nlv
+        packed = jnp.concatenate(
+            [
+                w.astype(fdt),
+                dout.astype(fdt),
+                jnp.zeros((idx.shape[0], 24 - F), fdt),
+            ],
+            axis=1,
+        )  # (N, 32) [w8 | doutF | pad]
+        parts = []
+        for j in range(nlv):
+            base = (level_base + j) * spn if level_span else 0
+            idl = idx[j * m : (j + 1) * m] - base
+            sidx, perm = jax.lax.sort_key_val(
+                idl, jnp.arange(m, dtype=jnp.int32)
+            )
+            pfs = jnp.take(
+                packed[j * m : (j + 1) * m], perm, axis=0,
+                unique_indices=True,
+            )
+            parts.append(
+                table_grad_factors_sorted(
+                    sidx, pfs, n_rows=spn, F=F, W=W, interpret=interpret
+                )
+            )
+        block = (
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        )
+        lo = level_base * spn if level_span else 0
+        hi = lo + nlv * spn
+        if lo == 0 and hi == n_rows:
+            dtable = block
+        else:
+            dtable = jnp.concatenate(
+                [
+                    jnp.zeros((lo, _LANE), jnp.float32),
+                    block,
+                    jnp.zeros((n_rows - hi, _LANE), jnp.float32),
+                ],
+                axis=0,
+            )
+        return dtable, None, jnp.zeros_like(w)
+
+    lookup_combine.defvjp(fwd, bwd)
+    return lookup_combine
+
+
+def hash_lookup_combine(
+    table: Array,  # (n_rows, 8*F) f32 master table
+    idx: Array,  # (N,) i32
+    w: Array,  # (N, 8) trilinear corner weights
+    compute_dtype=None,
+    interpret: bool = False,
+    level_span: int = 0,
+    n_levels: int = 1,
+    level_base: int = 0,
+) -> Array:
+    """Fused gather + trilinear combine whose backward consumes the
+    (w, dout) factors directly (never materializing or permuting the wide
+    cotangent payload).  Returns ``(N, F)``.  See
+    :func:`_sized_lookup_combine` for the zero-``dw`` contract.
+    """
+    assert table.ndim == 2 and table.shape[1] % 8 == 0
+    F = table.shape[1] // 8
+    assert 8 * F == _LANE, "factor path needs 128-wide rows"
+    if level_span and idx.shape[0] % n_levels:
+        level_span = 0
+    name = "none" if compute_dtype is None else jnp.dtype(compute_dtype).name
+    return _sized_lookup_combine(
+        int(table.shape[0]), int(F), name, interpret, int(level_span),
+        int(n_levels), int(level_base),
+    )(table, idx, w)

@@ -225,6 +225,12 @@ def occgrid_render_rays(
     extras = dict(extras)
     extras["kept"] = kept
     extras["ray_indices"] = ray_indices
+    # Fraction of rays whose tail samples were dropped by the macro-segment
+    # budget (silent quality loss if it stays high — raise
+    # max_macro_segments; the CLIs auto-escalate on this signal).
+    extras["macro_truncated_frac"] = jnp.mean(
+        cs.macro_truncated.astype(jnp.float32)
+    )
     return colors, opacities, depths, n_rendering_samples, extras
 
 

@@ -192,6 +192,15 @@ def _accumulate_sorted(
     ~8-20 ns *per index* on v5e, so for 2^18 samples over 8k rays this turns
     ~5 ms of scatter into ~0.3 ms of vector scan.  Differentiable by
     autodiff (cumsum VJP = reversed cumsum; gather VJP = n_rays-row scatter).
+
+    PRECISION: each ray's sum is a difference of one *global* f32 prefix
+    sum, so its absolute error scales with the global prefix magnitude —
+    ulp ~1e-3 near prefix ~1e4 (e.g. 16k-ray weight batches), hitting
+    late-batch rays hardest, vs per-segment scatter-add whose error scales
+    with per-ray magnitude only.  Acceptable for rendering accumulations
+    (weights/rgb in [0,1]; measured no PSNR regression at bench scale); if
+    quality targets tighten, reset the cumsum per block or use compensated
+    (two-sum) accumulation.
     """
     csum = jnp.cumsum(src, axis=0)
     csum = jnp.concatenate([jnp.zeros_like(csum[:1]), csum], axis=0)

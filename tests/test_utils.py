@@ -2,6 +2,8 @@
 
 import tempfile
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,9 +50,14 @@ def test_checkpoint_missing_raises():
             restore_checkpoint(d, {})
 
 
+@pytest.mark.slow
 def test_cli_save_resume_end_to_end():
     """The flagship CLI must save an orbax checkpoint and resume from it
-    (reference parity: train_mlp_nerf.py:114-122,189-199)."""
+    (reference parity: train_mlp_nerf.py:114-122,189-199).
+
+    ~86 s (two subprocess train runs) — marked slow; deselect with
+    ``-m 'not slow'`` for the fast inner loop (run_dev_checks runs it).
+    """
     import os
     import pathlib
     import subprocess
@@ -127,3 +134,21 @@ def test_capture_trace_parser(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "total device op time: 2.50 ms/step" in out  # (6000+1500)/1e3/3
     assert "fusion.1" in out and "hostop" not in out
+
+
+def test_lpips_unconditional():
+    """LPIPS runs with no optional installs (reference evaluates LPIPS-vgg
+    in every eval loop, train_ngp_nerf_occ.py:146-148); the offline
+    fallback must be zero for identical images and monotone in distortion
+    strength."""
+    from nerfacc_tpu.utils.lpips import lpips
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(48, 48, 3).astype(np.float32)
+    noise = rng.randn(48, 48, 3).astype(np.float32)
+    same, src = lpips(a, a)
+    assert src in ("rnd", "vgg")
+    small, _ = lpips(a, np.clip(a + 0.05 * noise, 0, 1))
+    big, _ = lpips(a, np.clip(a + 0.3 * noise, 0, 1))
+    assert same < 1e-6
+    assert same < small < big
