@@ -203,6 +203,13 @@ class HashGridEncoderFused(nn.Module):
     # tie.  The Pallas path accumulates per-row sums in f32 (vs bf16 for
     # the scatter under compute_dtype=bf16); flip to "pallas" if gradient
     # precision matters more than graph simplicity.
+    # "factor" (round 3) fuses gather+combine into one custom-VJP op whose
+    # backward consumes the (w, dout) rank-1 factors directly: it permutes
+    # a packed (N, 32)-byte factor array instead of the (N, 512)-byte
+    # cotangent and rebuilds cotangent tiles inside the kernel (two
+    # 0/1-placement MXU matmuls).  CONTRACT: zero gradient to sample
+    # positions (true for the NGP train paths; BARF-style pose refinement
+    # must not use it).
     table_grad: str = "auto"
 
     @property
@@ -258,8 +265,15 @@ class HashGridEncoderFused(nn.Module):
         table_f32 = table - 1e-4
         cdt = self.compute_dtype
 
-        from ..ops.table_grad import hash_table_lookup_sized, on_tpu
+        from ..ops.table_grad import (
+            hash_lookup_combine,
+            hash_table_lookup_sized,
+            on_tpu,
+        )
 
+        use_factor_grad = (
+            8 * F == _LANE_WIDTH and self.table_grad == "factor"
+        )
         use_pallas_grad = (
             8 * F == _LANE_WIDTH and self.table_grad == "pallas"
         )
@@ -332,7 +346,7 @@ class HashGridEncoderFused(nn.Module):
                 use_dense, dense_idx & (T - 1), h.astype(jnp.int32)
             )
             idx = (idx + level_offset).reshape(-1)  # (k*m,)
-            g = lookup(idx, lvl0, k)  # (k*m, 8F)
+            g = None if use_factor_grad else lookup(idx, lvl0, k)  # (k*m, 8F)
 
             # Trilinear combine: weights (k, m) per corner, applied to the
             # row-gathered features via a batched (1,8)x(8,F) contraction.
@@ -358,6 +372,18 @@ class HashGridEncoderFused(nn.Module):
             )  # (k, m, 8)
             if cdt is not None:
                 w = w.astype(cdt)
+            if use_factor_grad:
+                # Fused gather+combine whose backward consumes (w, dout)
+                # factors directly — no (k*m, 128) cotangent is ever
+                # materialized or permuted (ops/table_grad.py factor path).
+                # Contract: zero gradient to w (positions carry no grad in
+                # the NGP training paths this encoder serves).
+                out = hash_lookup_combine(
+                    table_f32, idx, w.reshape(k * m, 8),
+                    compute_dtype=cdt, interpret=not on_tpu(),
+                    level_span=T, n_levels=k, level_base=lvl0,
+                )
+                return out.reshape(k, m, F)
             out = jnp.einsum(
                 "kc,kcf->kf",
                 w.reshape(k * m, 8),
