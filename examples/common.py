@@ -31,19 +31,20 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> float:
 
 
 def eval_metrics(pred: jnp.ndarray, target: jnp.ndarray) -> dict:
-    """PSNR + SSIM + MS-SSIM (+ LPIPS when a weights-bearing install
-    exists; see nerfacc_tpu/utils/metrics.py for the parity note)."""
-    from nerfacc_tpu.utils.metrics import lpips_or_none, ms_ssim, ssim
+    """PSNR + SSIM + MS-SSIM + LPIPS (unconditional — exact LPIPS-vgg when
+    a weights npz is provided, the documented fixed-seed fallback
+    otherwise; see nerfacc_tpu/utils/lpips.py)."""
+    from nerfacc_tpu.utils.lpips import lpips
+    from nerfacc_tpu.utils.metrics import ms_ssim, ssim
 
-    out = {
+    lp, lp_src = lpips(pred, target)
+    return {
         "psnr": psnr(pred, target),
         "ssim": float(ssim(pred, target)),
         "ms_ssim": float(ms_ssim(pred, target)),
+        "lpips": lp,
+        "lpips_src": lp_src,
     }
-    lp = lpips_or_none(np.asarray(pred), np.asarray(target))
-    if lp is not None:
-        out["lpips"] = lp
-    return out
 
 
 def render_image_chunked(render_fn, rays, chunk: int = 8192):

@@ -236,6 +236,8 @@ def main():
 
 
 def _eval(eval_render, params, occ_state, test_ds, limit=None, eval_chunk=8192):
+    from nerfacc_tpu.utils.lpips import lpips
+
     psnrs = []
     n = len(test_ds) if limit is None else min(limit, len(test_ds))
     for i in range(n):
@@ -246,8 +248,9 @@ def _eval(eval_render, params, occ_state, test_ds, limit=None, eval_chunk=8192):
             chunk=eval_chunk,
         )
         p = psnr(img, batch["pixels"])
+        lp, lp_src = lpips(img, batch["pixels"])
         psnrs.append(p)
-        print(f"  eval img {i}: PSNR {p:.2f}")
+        print(f"  eval img {i}: PSNR {p:.2f} lpips({lp_src}) {lp:.4f}")
     return psnrs
 
 

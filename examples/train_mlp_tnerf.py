@@ -15,6 +15,8 @@ from common import Timer, psnr, render_image_chunked  # noqa: E402
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from nerfacc_tpu.utils.lpips import lpips as _lpips
 import optax
 
 from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
@@ -211,8 +213,9 @@ def main():
 
         img = render_image_chunked(rf, rays, chunk=eval_chunk)
         p_ = psnr(img, batch["pixels"])
+        lp, lp_src = _lpips(img, batch["pixels"])
         psnrs.append(p_)
-        print(f"  eval img {i}: PSNR {p_:.2f}")
+        print(f"  eval img {i}: PSNR {p_:.2f} lpips({lp_src}) {lp:.4f}")
     print(f"FINAL mean PSNR {np.mean(psnrs):.2f} dB")
     return float(np.mean(psnrs))
 

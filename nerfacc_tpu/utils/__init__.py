@@ -1,4 +1,5 @@
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .lpips import lpips
 from .metrics import lpips_or_none, ms_ssim, psnr, ssim
 from .profiler import time_jitted, trace
 
@@ -11,5 +12,6 @@ __all__ = [
     "psnr",
     "ssim",
     "ms_ssim",
+    "lpips",
     "lpips_or_none",
 ]
