@@ -11,9 +11,16 @@ from .multihost import (
     make_hybrid_mesh,
     process_local_batch_size,
 )
-from .train import make_parallel_occ_update, make_parallel_train_step
+from .train import (
+    make_parallel_occ_update,
+    make_parallel_propnet_train_step,
+    make_parallel_test_renderer,
+    make_parallel_train_step,
+)
 
 __all__ = [
+    "make_parallel_propnet_train_step",
+    "make_parallel_test_renderer",
     "make_mesh",
     "shard_rays",
     "replicate",

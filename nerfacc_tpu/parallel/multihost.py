@@ -52,7 +52,10 @@ def initialize_distributed(
 
     Returns ``(process_index, process_count)``.
     """
-    already = jax.process_count() > 1
+    # IMPORTANT: must not touch the backend (jax.devices/process_count/...)
+    # before jax.distributed.initialize — backend init pins a single-process
+    # runtime and initialize() then raises.
+    already = jax.distributed.is_initialized()
     want_multi = (
         num_processes is not None and num_processes > 1
     ) or coordinator_address is not None
@@ -82,10 +85,19 @@ def make_hybrid_mesh(
     if devices is None and jax.process_count() > 1:
         n_hosts = jax.process_count()
         per_host = jax.local_device_count()
-        mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(1, per_host),
-            dcn_mesh_shape=(n_hosts, 1),
-        )
+        try:
+            mesh_devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(1, per_host),
+                dcn_mesh_shape=(n_hosts, 1),
+            )
+        except ValueError:
+            # Backends without slice_index (CPU multi-process; some
+            # single-slice topologies): group by process — rows are hosts
+            # (DCN), columns are each host's local devices (ICI).
+            devs = sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)
+            )
+            mesh_devices = np.asarray(devs).reshape(n_hosts, per_host)
         return Mesh(mesh_devices, (dcn_axis, ici_axis))
 
     devices = list(devices) if devices is not None else jax.devices()
