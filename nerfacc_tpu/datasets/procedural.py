@@ -12,6 +12,7 @@ CPU-runnable conformance config).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -45,8 +46,17 @@ def scene_density(x: Array) -> Array:
     return jnp.sum(d * u * u, axis=-1)
 
 
-def scene_rgb_density(x: Array) -> Tuple[Array, Array]:
-    """Analytic (rgb, density) at points ``x``."""
+def scene_rgb_density(x: Array, detail: float = 0.0) -> Tuple[Array, Array]:
+    """Analytic (rgb, density) at points ``x``.
+
+    ``detail > 0`` adds multi-octave color texture (and density ripples)
+    whose finest wavelength (~0.03 scene units ≈ 9 px at 800x800 from the
+    default camera ring) exceeds the coarse hash levels' resolving power —
+    the reference-class quality gate (33 dB on 800x800 Lego,
+    ``docs/source/examples/static/ngp.rst:17-48``) needs a scene where
+    table capacity and fine levels actually matter.  ``detail=0`` keeps the
+    original smooth-blob scene (tests/smoke paths).
+    """
     c = jnp.asarray(_BLOBS[:, :3])
     r = jnp.asarray(_BLOBS[:, 3])
     d = jnp.asarray(_BLOBS[:, 4])
@@ -59,7 +69,24 @@ def scene_rgb_density(x: Array) -> Tuple[Array, Array]:
         sigma[..., None], min=1e-8
     )
     # subtle position-dependent shading so views differ
-    shade = 0.75 + 0.25 * jnp.sin(4.0 * x[..., :1]) * jnp.cos(4.0 * x[..., 1:2])
+    xx, yy, zz = x[..., :1], x[..., 1:2], x[..., 2:3]
+    shade = 0.75 + 0.25 * jnp.sin(4.0 * xx) * jnp.cos(4.0 * yy)
+    if detail > 0.0:
+        octaves = (
+            0.22 * jnp.sin(20.0 * xx + 1.0) * jnp.sin(20.0 * zz)
+            + 0.14 * jnp.sin(55.0 * yy + 2.0) * jnp.cos(55.0 * zz + 1.0)
+            + 0.09 * jnp.sin(200.0 * xx + 0.7) * jnp.sin(200.0 * yy + 1.3)
+        )
+        shade = shade + detail * octaves
+        # Density ripples carve fine geometric structure into the blob
+        # surfaces (specular-free but high-frequency opacity edges).
+        sigma = sigma * (
+            1.0
+            + 0.35
+            * detail
+            * jnp.sin(40.0 * xx[..., 0] + 2.0 * yy[..., 0])
+            * jnp.sin(40.0 * zz[..., 0])
+        )
     return jnp.clip(colors * shade, 0.0, 1.0), sigma
 
 
@@ -80,13 +107,15 @@ def _pose_spherical(theta: float, phi: float, radius: float) -> np.ndarray:
     return rot_theta @ rot_phi @ trans
 
 
-@jax.jit
-def _render_pose_chunk(origins, viewdirs, near, far, n_steps: int = 512):
+@functools.partial(jax.jit, static_argnames=("n_steps", "detail"))
+def _render_pose_chunk(
+    origins, viewdirs, near, far, detail: float = 0.0, n_steps: int = 512
+):
     t = jnp.linspace(near, far, n_steps + 1)
     t0, t1 = t[:-1], t[1:]
     tm = (t0 + t1) / 2.0
     x = origins[:, None, :] + tm[None, :, None] * viewdirs[:, None, :]
-    rgbs, sigmas = scene_rgb_density(x)
+    rgbs, sigmas = scene_rgb_density(x, detail)
     dt = (t1 - t0)[None, :]
     alphas = 1.0 - jnp.exp(-sigmas * dt)
     trans = jnp.exp(-jnp.cumsum(jnp.pad(sigmas * dt, ((0, 0), (1, 0)))[:, :-1], axis=-1))
@@ -103,11 +132,14 @@ def generate_dataset(
     height: int = 128,
     radius: float = 2.5,
     seed: int = 0,
+    detail: float = 0.0,
 ):
     """Render the analytic scene from poses on a sphere.
 
     Returns ``(train_images, train_c2w, test_images, test_c2w, focal)`` with
     uint8 RGBA images — drop-in for ``SubjectLoader(images=..., ...)``.
+    Rendering is chunked (65536 rays) so reference-class resolutions
+    (800x800) stay within device memory.
     """
     from .utils import generate_rays
 
@@ -117,6 +149,7 @@ def generate_dataset(
         [[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
         dtype=np.float32,
     )
+    chunk = 65536
 
     def render_split(n_views, phase):
         images, poses = [], []
@@ -132,9 +165,26 @@ def generate_dataset(
                 c2w[:3, :4],
                 opengl=True,
             )
-            color, opacity = _render_pose_chunk(
-                rays.origins, rays.viewdirs, radius - 1.2, radius + 1.2
+            n = rays.origins.shape[0]
+            n_pad = (-n) % chunk
+            o = np.concatenate(
+                [rays.origins, np.broadcast_to(rays.origins[-1:], (n_pad, 3))]
             )
+            d = np.concatenate(
+                [rays.viewdirs, np.broadcast_to(rays.viewdirs[-1:], (n_pad, 3))]
+            )
+            parts = [
+                _render_pose_chunk(
+                    jnp.asarray(o[j : j + chunk]),
+                    jnp.asarray(d[j : j + chunk]),
+                    radius - 1.2,
+                    radius + 1.2,
+                    detail=detail,
+                )
+                for j in range(0, n + n_pad, chunk)
+            ]
+            color = jnp.concatenate([p[0] for p in parts])[:n]
+            opacity = jnp.concatenate([p[1] for p in parts])[:n]
             rgba = np.concatenate(
                 [np.asarray(color), np.asarray(opacity)], axis=-1
             ).reshape(height, width, 4)
@@ -259,12 +309,17 @@ def make_loaders(
     height: int = 128,
     n_train: int = 24,
     n_test: int = 2,
+    detail: float = 0.0,
 ):
-    """Procedural train/test SubjectLoaders (aabb ~ [-1,1]^3, near/far 1.3/3.7)."""
+    """Procedural train/test SubjectLoaders (aabb ~ [-1,1]^3, near/far 1.3/3.7).
+
+    ``detail=1.0`` selects the textured reference-class-difficulty scene
+    (see :func:`scene_rgb_density`)."""
     from .nerf_synthetic import SubjectLoader
 
     tr_im, tr_c2w, te_im, te_c2w, focal = generate_dataset(
-        n_train=n_train, n_test=n_test, width=width, height=height
+        n_train=n_train, n_test=n_test, width=width, height=height,
+        detail=detail,
     )
     train = SubjectLoader(
         split="train",
