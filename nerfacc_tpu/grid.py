@@ -32,6 +32,7 @@ Sample *placement in occupied cells* — the estimator contract checked by
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -460,32 +461,22 @@ def traverse_and_compact(
             & any_hit[:, None]
         )
         mcum = jnp.cumsum(macro_valid.astype(jnp.int32), axis=-1)
-        mslot = jnp.where(macro_valid & (mcum <= k_keep), mcum - 1, k_keep)
-        # Flattened 1-D scatter: the 2-D (row, slot) form measured 53
-        # ns/index on v5e (multi-dim scatter penalty, trace fusion.9 =
-        # 4.4 ms at 16k x 5) vs ~5-8 ns for the same scatter with
-        # precomputed flat indices; invalid slots map out of bounds and
-        # drop.
-        rows2 = jnp.arange(n_rays, dtype=jnp.int32)[:, None]
-        mpos = jnp.arange(n_rays * m_segs, dtype=jnp.int32).reshape(
-            n_rays, m_segs
-        )
-        flat_slot = jnp.where(
-            mslot < k_keep, rows2 * k_keep + mslot, n_rays * k_keep + mpos
-        )
-        seg_idx = (
-            jnp.full((n_rays * k_keep,), m_segs, jnp.int32)
-            .at[flat_slot.reshape(-1)]
-            .set(
-                jnp.broadcast_to(
-                    jnp.arange(m_segs, dtype=jnp.int32), mslot.shape
-                ).reshape(-1),
-                mode="drop",
-                unique_indices=True,
-            )
-            .reshape(n_rays, k_keep)
-        )
+        # First-K selection WITHOUT a scatter (round 3, VERDICT #3): the
+        # k-th (0-based) valid segment sits at column j iff mcum[j] == k+1
+        # first occurs there, i.e. j = |{c : mcum[c] < k+1}| — so the whole
+        # (n_rays, K) selection is one broadcast-compare-reduce over the
+        # (n_rays, m_segs, K) product, fully fused by XLA.  Rays with fewer
+        # than k+1 valid segments count to m_segs = the live-mask sentinel.
+        # Replaces a 1-D scatter of n_rays*m_segs indices (~1M at the bench
+        # config) that traced at 4.4 ms; scatter lowering is serial on TPU
+        # while this is pure VPU reduction.
+        kr = jnp.arange(1, k_keep + 1, dtype=jnp.int32)
+        seg_idx = jnp.sum(
+            (mcum[:, :, None] < kr[None, None, :]).astype(jnp.int32),
+            axis=1,
+        )  # (n_rays, K)
         seg_live = seg_idx < m_segs
+        seg_idx = jnp.minimum(seg_idx, m_segs - 1)
         macro_truncated = mcum[:, -1] > k_keep
         last_seg = jnp.max(jnp.where(seg_live, seg_idx, 0), axis=-1)
         macro_end = _ladder_at(
@@ -595,11 +586,35 @@ def traverse_and_compact(
     # Padding decodes to (last ray, clamped lattice end, no valid bits):
     # kept=False, t_start==t_end, and ray_indices stays globally sorted.
     fill_packed = ((n_rays - 1) << (bits_p + C)) | (max_lattice_steps << C)
-    inv = (
-        jnp.full((cap_c,), fill_packed, jnp.int32)
-        .at[slot.reshape(-1)]
-        .set(packed.reshape(-1), mode="drop", unique_indices=True)
-    )
+    if os.environ.get("NERFACC_COMPACT_IMPL", "scatter") == "sort":
+        # Sort-based inversion (round-3 A/B, VERDICT #3): valid chunks key
+        # by their output slot (< ctotal <= cap_c), invalid chunks by
+        # unique tail keys (>= cap_c), so one sort_key_val of n_rays*nch
+        # int32 pairs lands every chunk in place — XLA's TPU scatter
+        # lowering is serial per index (traced 20.8 ns/index in this
+        # fusion) while its bitonic sort is parallel.
+        keys = slot.reshape(-1)
+        vals = packed.reshape(-1)
+        if keys.shape[0] < cap_c:  # capacity exceeds the chunk count
+            pad = cap_c - keys.shape[0]
+            keys = jnp.concatenate(
+                [keys, jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)]
+            )
+            vals = jnp.concatenate(
+                [vals, jnp.full((pad,), fill_packed, jnp.int32)]
+            )
+        _, packed_sorted = jax.lax.sort_key_val(keys, vals)
+        inv = jnp.where(
+            jnp.arange(cap_c, dtype=jnp.int32) < ctotal,
+            packed_sorted[:cap_c],
+            fill_packed,
+        )
+    else:
+        inv = (
+            jnp.full((cap_c,), fill_packed, jnp.int32)
+            .at[slot.reshape(-1)]
+            .set(packed.reshape(-1), mode="drop", unique_indices=True)
+        )
     r_c = inv >> (bits_p + C)
     base = (inv >> C) & ((1 << bits_p) - 1)
     vb = inv & ((1 << C) - 1)

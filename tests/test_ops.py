@@ -213,3 +213,42 @@ def test_sorted_seg_bounds_accumulation_matches_segment_sum():
         lambda th: render(th, (cs.seg_starts, cs.seg_counts))[0].sum()
     )(theta)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4)
+
+
+def test_sort_compaction_matches_scatter(monkeypatch):
+    """NERFACC_COMPACT_IMPL=sort must reproduce the scatter inversion
+    bit-exactly (same packed chunks land in the same slots)."""
+    est = OccGridEstimator(roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=64,
+                           levels=1, skip_factor=2)
+    state = est.set_binaries(est.init(), _shell_binaries(64)[None])
+
+    rng = np.random.default_rng(11)
+    n_rays = 128
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-2.5 * d)
+    rays_d = jnp.asarray(d)
+
+    kw = dict(
+        near_planes=jnp.zeros((n_rays,)),
+        step_size=1e-2,
+        traverse_steps_limit=128,
+        max_lattice_steps=512,
+        skip_grid=state.skip_grid,
+        macro_stride=16,
+        max_macro_segments=8,
+    )
+    # Small capacity also exercises the capacity-truncation branch.
+    for cap in (4096, 1024):
+        monkeypatch.setenv("NERFACC_COMPACT_IMPL", "scatter")
+        a = traverse_and_compact(
+            rays_o, rays_d, state.binaries, state.aabbs, cap,
+            compact_chunk=4, **kw,
+        )
+        monkeypatch.setenv("NERFACC_COMPACT_IMPL", "sort")
+        b = traverse_and_compact(
+            rays_o, rays_d, state.binaries, state.aabbs, cap,
+            compact_chunk=4, **kw,
+        )
+        for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
