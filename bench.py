@@ -26,8 +26,10 @@ with waits on failure (never restarting the relay, per the documented
 protocol); the child prints a *partial* JSON record after the throughput
 phase so a later crash still leaves a usable number.  Whatever happens,
 stdout ends with exactly one parseable JSON line (an ``error`` field on
-unrecoverable failure).  Knobs: BENCH_ATTEMPTS (default 4),
-BENCH_ATTEMPT_TIMEOUT seconds (default 2700), BENCH_RETRY_WAITS.
+unrecoverable failure).  Knobs: BENCH_ATTEMPTS (default 3),
+BENCH_ATTEMPT_TIMEOUT seconds (default 3600 — the quality phase plus
+remote compiles through the tunnel can legitimately take ~45 min),
+BENCH_RETRY_WAITS.
 """
 
 from __future__ import annotations
@@ -599,8 +601,8 @@ def parent_main():
     with one parseable JSON line."""
     import subprocess
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
-    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "2700"))
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "3600"))
     waits = [
         float(w)
         for w in os.environ.get("BENCH_RETRY_WAITS", "120,300,600").split(",")
