@@ -431,7 +431,8 @@ def quality_phase(psnr_target: float):
     proxy, plus the fused-encoder quality gap vs the tcnn-parity hash
     encoder at equal steps and equal wall-clock (VERDICT r2 #4).
     Knobs: BENCH_Q_W/BENCH_Q_RAYS/BENCH_Q_STEPS/BENCH_Q_EVERY/
-    BENCH_DELTA_STEPS (0 skips the parity runs).
+    BENCH_DELTA_STEPS (0 skips the parity runs), BENCH_Q_BUDGET (per-run
+    train-time cap in seconds).
     """
     from nerfacc_tpu.datasets.procedural import make_loaders
 
@@ -456,11 +457,16 @@ def quality_phase(psnr_target: float):
     run = _QualityRun(train_ds, test_ds, main_cfg, tag="fused")
     run.compile()
 
+    # Wall-clock budget (train time, per run): the 800x800 gate has never
+    # been unbounded-validated through the tunnel — cap it so one bench
+    # attempt reliably fits BENCH_ATTEMPT_TIMEOUT and reports what it got.
+    budget_s = float(os.environ.get("BENCH_Q_BUDGET", "1200"))
+
     reached = None
     psnr_val = 0.0
     psnr_at_delta = None
     time_at_delta = None
-    while run.step < max_steps:
+    while run.step < max_steps and run.train_elapsed < budget_s:
         n = min(eval_every, max_steps - run.step)
         if delta_steps and run.step < delta_steps:
             n = min(n, delta_steps - run.step)
@@ -496,7 +502,7 @@ def quality_phase(psnr_target: float):
         ref.compile()
         psnr_h_step = None
         psnr_h_time = None
-        while ref.step < 4 * delta_steps:
+        while ref.step < 4 * delta_steps and ref.train_elapsed < budget_s:
             n = (
                 min(100, delta_steps - ref.step)
                 if ref.step < delta_steps
