@@ -37,6 +37,7 @@ accumulates in bf16.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -584,17 +585,46 @@ def _sized_lookup_combine(
             ],
             axis=1,
         )  # (N, 32) [w8 | doutF | pad]
+        # Data movement into sorted order, A/B-able (NERFACC_FACTOR_MOVE):
+        #   "take"  — sort (idx, iota) then random-gather the factor rows
+        #             (one ~10 ns HBM transaction per row, zero reuse);
+        #   "carry" — carry the factor columns THROUGH lax.sort as extra
+        #             operands: the bitonic/merge network is sequential-
+        #             access, trading the random-gather transaction floor
+        #             for wider sort stages.
+        carry = os.environ.get("NERFACC_FACTOR_MOVE", "take") == "carry"
         parts = []
         for j in range(nlv):
             base = (level_base + j) * spn if level_span else 0
             idl = idx[j * m : (j + 1) * m] - base
-            sidx, perm = jax.lax.sort_key_val(
-                idl, jnp.arange(m, dtype=jnp.int32)
-            )
-            pfs = jnp.take(
-                packed[j * m : (j + 1) * m], perm, axis=0,
-                unique_indices=True,
-            )
+            pck = packed[j * m : (j + 1) * m]
+            if carry:
+                if fdt == jnp.bfloat16:
+                    cols = jax.lax.bitcast_convert_type(
+                        pck.reshape(m, 16, 2), jnp.int32
+                    )  # (m, 16) i32, two bf16s per lane
+                else:
+                    cols = jax.lax.bitcast_convert_type(pck, jnp.int32)
+                nc = cols.shape[1]
+                sorted_ops = jax.lax.sort(
+                    (idl,) + tuple(cols[:, c] for c in range(nc)),
+                    num_keys=1,
+                )
+                sidx = sorted_ops[0]
+                sc = jnp.stack(sorted_ops[1:], axis=1)
+                if fdt == jnp.bfloat16:
+                    pfs = jax.lax.bitcast_convert_type(
+                        sc, jnp.bfloat16
+                    ).reshape(m, 32)
+                else:
+                    pfs = jax.lax.bitcast_convert_type(sc, jnp.float32)
+            else:
+                sidx, perm = jax.lax.sort_key_val(
+                    idl, jnp.arange(m, dtype=jnp.int32)
+                )
+                pfs = jnp.take(
+                    pck, perm, axis=0, unique_indices=True,
+                )
             parts.append(
                 table_grad_factors_sorted(
                     sidx, pfs, n_rows=spn, F=F, W=W, interpret=interpret

@@ -548,3 +548,39 @@ def test_fused_factor_table_grad_matches_scatter():
     # grads wrt x are zero (documented), table grad still correct above.
     dx = jax.grad(lambda xx: (enc_f.apply(params, xx) * ct).sum())(x)
     np.testing.assert_array_equal(np.asarray(dx), 0.0)
+
+
+def test_fused_factor_carry_move_matches_take(monkeypatch):
+    """NERFACC_FACTOR_MOVE=carry (factor columns carried through lax.sort)
+    must produce the same table gradient as the take-permute movement."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=256)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((777, 3), dtype=np.float32))
+    ct_holder = {}
+
+    def loss(p, enc):
+        y = enc.apply(p, x)
+        ct = ct_holder.setdefault(
+            "ct", jnp.asarray(
+                rng.standard_normal(y.shape).astype(np.float32)
+            )
+        )
+        return (y * ct).sum()
+
+    for cdt in (None, jnp.bfloat16):
+        enc = HashGridEncoderFused(**kw, table_grad="factor",
+                                   compute_dtype=cdt)
+        params = enc.init(jax.random.PRNGKey(0), x[:8])
+        monkeypatch.setenv("NERFACC_FACTOR_MOVE", "take")
+        g_take = jax.grad(loss)(params, enc)["params"]["table"]
+        monkeypatch.setenv("NERFACC_FACTOR_MOVE", "carry")
+        jax.clear_caches()  # env is read at trace time
+        g_carry = jax.grad(loss)(params, enc)["params"]["table"]
+        monkeypatch.delenv("NERFACC_FACTOR_MOVE")
+        jax.clear_caches()
+        np.testing.assert_allclose(
+            np.asarray(g_carry), np.asarray(g_take), rtol=1e-6, atol=1e-6
+        )
