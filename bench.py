@@ -553,6 +553,38 @@ def _error_record(msg: str) -> dict:
     }
 
 
+# A verified record from the last fully successful run, kept next to this
+# file.  If the relay is wedged for the entire retry budget, the error line
+# still carries the most recent *measured* number (clearly labeled with its
+# timestamp — it is evidence, not the round's metric).
+_LAST_GOOD_PATH = os.environ.get(
+    "BENCH_LAST_GOOD_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_last_good.json"),
+)
+
+
+def _save_last_good(record: dict) -> None:
+    if os.environ.get("BENCH_CPU") == "1":
+        return  # dev-check smoke numbers are not evidence
+    try:
+        with open(_LAST_GOOD_PATH, "w") as f:
+            json.dump(dict(record, measured_at_unix=round(time.time(), 1),
+                           measured_at=time.strftime(
+                               "%Y-%m-%dT%H:%M:%SZ", time.gmtime())), f)
+    except OSError:
+        pass
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
 def child_main():
     """The actual benchmark. Prints a partial JSON record after the
     throughput phase, then the final one; the parent keeps the last
@@ -642,6 +674,7 @@ def parent_main():
         rec = _last_json_line(out or "")
         if rec is not None and "error" not in rec:
             if not rec.get("partial"):
+                _save_last_good(rec)
                 print(json.dumps(rec), flush=True)
                 return
             best = rec  # throughput number survived; quality phase died
@@ -656,9 +689,14 @@ def parent_main():
     if best is not None:
         best.pop("partial", None)
         best["quality_error"] = "quality phase did not complete in any attempt"
+        _save_last_good(best)
         print(json.dumps(best), flush=True)
     else:
-        print(json.dumps(_error_record(last_err)), flush=True)
+        err = _error_record(last_err)
+        prior = _load_last_good()
+        if prior is not None:
+            err["last_known_good"] = prior
+        print(json.dumps(err), flush=True)
 
 
 def main():
