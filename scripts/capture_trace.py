@@ -110,9 +110,15 @@ def main() -> None:
     state = est.set_binaries(
         est.init(), jnp.asarray((np.abs(r - 0.45) < 0.08)[None])
     )
+    # Honor the same env knobs as bench.py so a trace captured after an
+    # A/B sweep profiles exactly the winning configuration.
     field = NGPRadianceField(
-        aabb=aabb, encoder_type="fused", n_levels=4,
-        n_features_per_level=16, log2_hashmap_size=18,
+        aabb=aabb,
+        encoder_type=os.environ.get("BENCH_ENCODER", "fused"),
+        n_levels=int(os.environ.get("BENCH_LEVELS", "4")),
+        n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
+        log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
+        table_grad=os.environ.get("BENCH_TGRAD", "auto"),
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
     )
     params = field.init(
