@@ -388,16 +388,22 @@ def _factor_kernel(
     first_ref,  # scalar-prefetch (n_slots,) i32
     valid_ref,  # scalar-prefetch (n_slots,) i32
     idx_hbm,  # (n_pad/128, 128) i32 in ANY
-    pf_hbm,  # (n_payload, 32) packed factors [w8 | doutF | pad] in ANY
+    pf_hbm,  # (32, n_payload) packed factors [w8 | doutF | pad] rows, ANY
     out_ref,  # (W, 128) f32 block for this slot's window
     idx_vmem,  # scratch (CH/128, 128) i32
-    pf_vmem,  # scratch (CH, 32) factor dtype
+    pf_vmem,  # scratch (32, CH) factor dtype
     sems,  # DMA semaphores (2,)
     *,
     W: int,
     CH: int,
     F: int,
 ):
+    # Factors arrive TRANSPOSED — samples on the lane axis — because
+    # Mosaic only DMA-slices HBM along lane-tile (128) multiples: a
+    # (N, 32) operand's 32-wide minor dim cannot be sliced, but the
+    # (32, N) layout slices its lane axis at CH-aligned offsets (this
+    # exact shape failed to compile on v5e round 3: "Slice shape along
+    # dimension 1 must be aligned to tiling (128), but is 32").
     s = pl.program_id(0)
     off = pl.multiple_of(off_ref[s], CH)
     row0 = pl.multiple_of(off // _LANE, CH // _LANE)
@@ -406,7 +412,7 @@ def _factor_kernel(
         idx_hbm.at[pl.ds(row0, CH // _LANE), :], idx_vmem, sems.at[0]
     )
     pf_dma = pltpu.make_async_copy(
-        pf_hbm.at[pl.ds(off, CH), :], pf_vmem, sems.at[1]
+        pf_hbm.at[:, pl.ds(off, CH)], pf_vmem, sems.at[1]
     )
     idx_dma.start()
     pf_dma.start()
@@ -414,16 +420,19 @@ def _factor_kernel(
     pf_dma.wait()
 
     dt = pf_vmem.dtype
-    # 0/1 placement matrices: E spreads w lanes c -> lanes [c*F, (c+1)*F);
-    # T tiles dout lanes f -> lanes {c*F + f}.  dg_tile = (w@E) * (d@T)
-    # reconstructs the rank-1 outer product row-major in one VPU multiply.
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
-    E = (lane8 // F == sub8).astype(dt)
-    laneF = jax.lax.broadcasted_iota(jnp.int32, (F, _LANE), 1)
-    subF = jax.lax.broadcasted_iota(jnp.int32, (F, _LANE), 0)
-    T = (laneF % F == subF).astype(dt)
+    # 0/1 placement matrices (feature axis on SUBLANES to match the
+    # transposed factors): Et spreads w row c -> feature rows
+    # [c*F, (c+1)*F); Tt tiles dout row f -> feature rows {c*F + f}.
+    # dgT = (Et@wT) * (Tt@dT) rebuilds the rank-1 outer product as a
+    # (128 features, 128 samples) tile with two MXU matmuls.
+    subE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
+    lanE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
+    Et = (subE // F == lanE).astype(dt)  # (128, 8)
+    subT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 0)
+    lanT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 1)
+    Tt = (subT % F == lanT).astype(dt)  # (128, F)
 
+    pf = pf_vmem[:, :]  # (32, CH): rows [w 0:8 | dout 8:8+F | pad]
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
     w0 = wid_ref[s] * W
     w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
@@ -431,21 +440,22 @@ def _factor_kernel(
     for k in range(CH // _LANE):
         sl = slice(k * _LANE, (k + 1) * _LANE)
         we = jax.lax.dot_general(
-            pf_vmem[sl, 0:8], E,
+            Et, pf[0:8, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (128 feat, 128 samples)
         de = jax.lax.dot_general(
-            pf_vmem[sl, 8 : 8 + F], T,
+            Tt, pf[8 : 8 + F, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dg_tile = (we * de).astype(dt)  # (128, 128) cotangent tile
+        dgT = (we * de).astype(dt)  # (128, 128) cotangent tile, transposed
         rel = idx_vmem[k, :] - w0  # (128,) lane vector
-        oh = (rel[None, :] == rows).astype(dt)  # (W, 128)
+        oh = (rel[None, :] == rows).astype(dt)  # (W, 128 samples)
+        # out[r, f] += sum_j oh[r, j] * dgT[f, j]: contract both lane axes.
         mm = mm + jax.lax.dot_general(
-            oh, dg_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            oh, dgT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -463,7 +473,7 @@ def _factor_kernel(
 )
 def table_grad_factors_sorted(
     sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
-    packed_sorted: Array,  # (N, 32) [w 0:8 | dout 8:8+F | pad], sorted order
+    packed_sorted_t: Array,  # (32, N) rows [w 0:8 | dout 8:8+F | pad]
     *,
     n_rows: int,
     F: int = 16,
@@ -473,28 +483,31 @@ def table_grad_factors_sorted(
 ) -> Array:
     """Per-row sums of the rank-1 cotangents ``w_i ⊗ dout_i`` grouped by
     ``sorted_idx`` — (n_rows, 128) f32 — without ever materializing the
-    (N, 128) payload.  Layout contract: 8*F == 128 (the fused row width).
+    (N, 128) payload.  Layout contract: 8*F == 128 (the fused row width);
+    the factors come TRANSPOSED (samples on the lane axis) so the kernel's
+    HBM DMA slices land on lane-tile multiples (see :func:`_factor_kernel`).
     """
     assert 8 * F == _LANE
     assert n_rows % W == 0 and CH % _LANE == 0
-    assert packed_sorted.shape[1] == 32
+    assert packed_sorted_t.shape[0] == 32
     n = sorted_idx.shape[0]
     n_pad = -(-(n + CH) // CH) * CH
     sorted_idx = jnp.concatenate(
         [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
     )
     if n % CH:
-        packed_sorted = jnp.concatenate(
+        packed_sorted_t = jnp.concatenate(
             [
-                packed_sorted,
-                jnp.zeros((n_pad - n, 32), packed_sorted.dtype),
-            ]
+                packed_sorted_t,
+                jnp.zeros((32, n_pad - n), packed_sorted_t.dtype),
+            ],
+            axis=1,
         )
 
     NW = n_rows // W
     n_slots = 2 * NW + n_pad // CH
     wid, off, first, valid = _worklist(
-        sorted_idx, n_rows, W, CH, n_slots, packed_sorted.shape[0]
+        sorted_idx, n_rows, W, CH, n_slots, packed_sorted_t.shape[1]
     )
 
     kernel = functools.partial(_factor_kernel, W=W, CH=CH, F=F)
@@ -512,7 +525,7 @@ def table_grad_factors_sorted(
             ),
             scratch_shapes=[
                 pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
-                pltpu.VMEM((CH, 32), packed_sorted.dtype),
+                pltpu.VMEM((32, CH), packed_sorted_t.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -520,11 +533,11 @@ def table_grad_factors_sorted(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_slots * CH * (W + 24) * _LANE,
-            bytes_accessed=n_pad * 32 * packed_sorted.dtype.itemsize
+            bytes_accessed=n_pad * 32 * packed_sorted_t.dtype.itemsize
             + n_rows * _LANE * 4,
             transcendentals=0,
         ),
-    )(wid, off, first, valid, sorted_idx.reshape(-1, _LANE), packed_sorted)
+    )(wid, off, first, valid, sorted_idx.reshape(-1, _LANE), packed_sorted_t)
     return out
 
 
@@ -592,6 +605,9 @@ def _sized_lookup_combine(
         #             operands: the bitonic/merge network is sequential-
         #             access, trading the random-gather transaction floor
         #             for wider sort stages.
+        # Either way the kernel consumes the factors TRANSPOSED — (32, m)
+        # with samples on lanes (Mosaic HBM-slice alignment; carry's f32
+        # flavor gets that layout for free from stacking sorted columns).
         carry = os.environ.get("NERFACC_FACTOR_MOVE", "take") == "carry"
         parts = []
         for j in range(nlv):
@@ -611,11 +627,15 @@ def _sized_lookup_combine(
                     num_keys=1,
                 )
                 sidx = sorted_ops[0]
-                sc = jnp.stack(sorted_ops[1:], axis=1)
+                sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
                 if fdt == jnp.bfloat16:
-                    pfs = jax.lax.bitcast_convert_type(
-                        sc, jnp.bfloat16
-                    ).reshape(m, 32)
+                    # (16, m) i32 -> (16, m, 2) bf16 [c, j, p] = row 2c+p of
+                    # the transposed factors -> (16, 2, m) -> (32, m).
+                    pfs = (
+                        jax.lax.bitcast_convert_type(sc, jnp.bfloat16)
+                        .transpose(0, 2, 1)
+                        .reshape(32, m)
+                    )
                 else:
                     pfs = jax.lax.bitcast_convert_type(sc, jnp.float32)
             else:
@@ -624,7 +644,7 @@ def _sized_lookup_combine(
                 )
                 pfs = jnp.take(
                     pck, perm, axis=0, unique_indices=True,
-                )
+                ).T  # row-gather the 64 B rows, then one streaming transpose
             parts.append(
                 table_grad_factors_sorted(
                     sidx, pfs, n_rows=spn, F=F, W=W, interpret=interpret
