@@ -586,8 +586,10 @@ def traverse_and_compact(
     # Padding decodes to (last ray, clamped lattice end, no valid bits):
     # kept=False, t_start==t_end, and ray_indices stays globally sorted.
     fill_packed = ((n_rays - 1) << (bits_p + C)) | (max_lattice_steps << C)
-    if os.environ.get("NERFACC_COMPACT_IMPL", "scatter") == "sort":
-        # Sort-based inversion (round-3 A/B, VERDICT #3): valid chunks key
+    if os.environ.get("NERFACC_COMPACT_IMPL", "sort") == "sort":
+        # Sort-based inversion, the DEFAULT since the round-3 device A/B
+        # (8.02M vs 7.44M samples/s on v5e; scatter stays as the
+        # NERFACC_COMPACT_IMPL=scatter fallback): valid chunks key
         # by their output slot (< ctotal <= cap_c), invalid chunks by
         # unique tail keys (>= cap_c), so one sort_key_val of n_rays*nch
         # int32 pairs lands every chunk in place — XLA's TPU scatter
