@@ -93,7 +93,7 @@ def throughput_phase():
         n_features_per_level=n_feats,
         log2_hashmap_size=log2_t,
         compute_dtype=cdt,
-        table_grad=os.environ.get("BENCH_TGRAD", "auto"),
+        table_grad=os.environ.get("BENCH_TGRAD", "factor"),
     )
     key = jax.random.PRNGKey(0)
     params = field.init(key, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -269,7 +269,7 @@ class _QualityRun:
                 in ("bf16", "bfloat16")
                 else None
             ),
-            table_grad=os.environ.get("BENCH_TGRAD", "auto"),
+            table_grad=os.environ.get("BENCH_TGRAD", "factor"),
             **encoder_cfg,
         )
         self.field = field

@@ -103,8 +103,14 @@ class NGPRadianceField(nn.Module):
     # f32.  Matches the numerics class of tcnn's fp16 training path.
     compute_dtype: Optional[jnp.dtype] = None
     # Hash-table gradient strategy (fused encoder): see
-    # HashGridEncoderFused.table_grad.
-    table_grad: str = "auto"
+    # HashGridEncoderFused.table_grad.  "factor" (the default since the
+    # round-3 device A/B: 9.54M vs 8.02M samples/s on v5e) consumes the
+    # (w, dout) rank-1 factors directly in a Pallas sorted reduction and
+    # returns ZERO gradient to sample positions — correct for every NGP
+    # training path here (positions come from rays and stop-gradient
+    # traversal).  Set "scatter" if you differentiate positions through
+    # this field (e.g. pose refinement; BARF uses the parity encoders).
+    table_grad: str = "factor"
 
     def setup(self):
         # The fused encoder stores 8 corners per row; drop its per-level entry

@@ -608,7 +608,10 @@ def _sized_lookup_combine(
         # Either way the kernel consumes the factors TRANSPOSED — (32, m)
         # with samples on lanes (Mosaic HBM-slice alignment; carry's f32
         # flavor gets that layout for free from stacking sorted columns).
-        carry = os.environ.get("NERFACC_FACTOR_MOVE", "take") == "carry"
+        # carry won the round-3 device A/B decisively: 9.54M vs 8.12M
+        # samples/s end-to-end on v5e (take's random 64 B-row gather pays
+        # the per-transaction floor; the sort's merge stages stream).
+        carry = os.environ.get("NERFACC_FACTOR_MOVE", "carry") == "carry"
         parts = []
         for j in range(nlv):
             base = (level_base + j) * spn if level_span else 0
