@@ -18,6 +18,7 @@ TPU design:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -403,29 +404,45 @@ class OccGridEstimator(AbstractEstimator):
                     k_uni, (n_cells,), 0, self.cells_per_lvl, jnp.int32
                 )
                 # Uniform over *occupied* cells (the reference's sampling,
-                # occ_grid.py:372-379): compact the occupied cell ids with
-                # one rank scatter, then draw uniform ranks.  O(cells + n)
-                # with ~n/20 the indexed ops of a searchsorted inverse-CDF
-                # (binary search costs log(cells) gathers per draw — ~77 ms
-                # at res-128 on v5e), and none of jax.random.categorical's
-                # (n, cells) Gumbel blowup.
+                # occ_grid.py:372-379): compact the occupied cell ids, then
+                # draw uniform ranks.  O(cells + n) with ~n/20 the indexed
+                # ops of a searchsorted inverse-CDF (binary search costs
+                # log(cells) gathers per draw — ~77 ms at res-128 on v5e),
+                # and none of jax.random.categorical's (n, cells) Gumbel
+                # blowup.
                 occ_mask = state.binaries[lvl].reshape(-1)
-                cdf = jnp.cumsum(occ_mask.astype(jnp.int32))
-                total = cdf[-1]
+                total = jnp.sum(occ_mask.astype(jnp.int32))
                 cell_arange = jnp.arange(self.cells_per_lvl, dtype=jnp.int32)
-                occupied_cells = (
-                    jnp.zeros((self.cells_per_lvl,), jnp.int32)
-                    .at[
+                if os.environ.get("NERFACC_OCC_COMPACT", "sort") == "sort":
+                    # One single-operand sort: occupied ids keep their value,
+                    # empty cells get id + cells (all larger), so ascending
+                    # order lands the occupied ids in the first `total`
+                    # slots.  Replaces a cells-wide cumsum + rank scatter —
+                    # XLA's TPU scatter is serial per index while its sort
+                    # is parallel (same physics as the compaction and
+                    # table-gradient wins).
+                    occupied_cells = jax.lax.sort(
                         jnp.where(
                             occ_mask,
-                            cdf - 1,
-                            # distinct OOB slots -> provably unique index
-                            # vector (permutation-write scatter lowering)
+                            cell_arange,
                             self.cells_per_lvl + cell_arange,
                         )
-                    ]
-                    .set(cell_arange, mode="drop", unique_indices=True)
-                )
+                    )
+                else:
+                    cdf = jnp.cumsum(occ_mask.astype(jnp.int32))
+                    occupied_cells = (
+                        jnp.zeros((self.cells_per_lvl,), jnp.int32)
+                        .at[
+                            jnp.where(
+                                occ_mask,
+                                cdf - 1,
+                                # distinct OOB slots -> provably unique index
+                                # vector (permutation-write scatter lowering)
+                                self.cells_per_lvl + cell_arange,
+                            )
+                        ]
+                        .set(cell_arange, mode="drop", unique_indices=True)
+                    )
                 u = jax.random.randint(
                     k_occ, (n_cells,), 0, jnp.maximum(total, 1), jnp.int32
                 )

@@ -354,3 +354,40 @@ def test_macro_truncation_is_reported_on_solid_scene():
     )
     extras = out[4]
     assert float(extras["macro_truncated_frac"]) > 0.5
+
+
+def test_occ_update_sort_compaction_matches_scatter(monkeypatch):
+    """The sort-based occupied-cell compaction in the post-warmup update
+    (NERFACC_OCC_COMPACT=sort, the default) must produce the same sampled
+    cells — and hence the same state — as the rank-scatter variant: both
+    land the occupied ids ascending in the first `total` slots."""
+    import os
+    from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+
+    est = OccGridEstimator(
+        roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=16, levels=2
+    )
+    rng = np.random.default_rng(7)
+    state0 = est.set_binaries(
+        est.init(), jnp.asarray(rng.random((2, 16, 16, 16)) > 0.8)
+    )
+
+    def occ_eval_fn(x):
+        return (jnp.linalg.norm(x, axis=-1) < 0.6).astype(jnp.float32) * 3.0
+
+    key = jax.random.PRNGKey(3)
+    outs = {}
+    for impl in ("sort", "scatter"):
+        monkeypatch.setenv("NERFACC_OCC_COMPACT", impl)
+        jax.clear_caches()  # env is read at trace time
+        outs[impl] = est._update(
+            state0, step=10**9, occ_eval_fn=occ_eval_fn, key=key
+        )
+    monkeypatch.delenv("NERFACC_OCC_COMPACT")
+    jax.clear_caches()
+    np.testing.assert_array_equal(
+        np.asarray(outs["sort"].occs), np.asarray(outs["scatter"].occs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["sort"].binaries), np.asarray(outs["scatter"].binaries)
+    )
