@@ -16,6 +16,7 @@ by autodiff.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -378,11 +379,25 @@ class HashGridEncoderFused(nn.Module):
                 # materialized or permuted (ops/table_grad.py factor path).
                 # Contract: zero gradient to w (positions carry no grad in
                 # the NGP training paths this encoder serves).
-                out = hash_lookup_combine(
-                    table_f32, idx, w.reshape(k * m, 8),
-                    compute_dtype=cdt, interpret=not on_tpu(),
-                    level_span=T, n_levels=k, level_base=lvl0,
-                )
+                # NERFACC_FACTOR_PACK=w3 carries only the three fractional
+                # weights through the backward's sort (11 int32 operands vs
+                # 17) and rebuilds the 8 corner weights in-kernel.
+                if os.environ.get("NERFACC_FACTOR_PACK", "w8") == "w3":
+                    from ..ops.table_grad import hash_lookup_combine3
+
+                    out = hash_lookup_combine3(
+                        table_f32, idx,
+                        wx.reshape(k * m), wy.reshape(k * m),
+                        wz.reshape(k * m),
+                        compute_dtype=cdt, interpret=not on_tpu(),
+                        level_span=T, n_levels=k, level_base=lvl0,
+                    )
+                else:
+                    out = hash_lookup_combine(
+                        table_f32, idx, w.reshape(k * m, 8),
+                        compute_dtype=cdt, interpret=not on_tpu(),
+                        level_span=T, n_levels=k, level_base=lvl0,
+                    )
                 return out.reshape(k, m, F)
             out = jnp.einsum(
                 "kc,kcf->kf",

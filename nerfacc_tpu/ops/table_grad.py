@@ -397,6 +397,7 @@ def _factor_kernel(
     W: int,
     CH: int,
     F: int,
+    wpack: str = "w8",
 ):
     # Factors arrive TRANSPOSED — samples on the lane axis — because
     # Mosaic only DMA-slices HBM along lane-tile (128) multiples: a
@@ -404,6 +405,13 @@ def _factor_kernel(
     # (32, N) layout slices its lane axis at CH-aligned offsets (this
     # exact shape failed to compile on v5e round 3: "Slice shape along
     # dimension 1 must be aligned to tiling (128), but is 32").
+    #
+    # Row layouts (wpack):
+    #   "w8": [w corner weights 0:8 | dout 8:8+F | pad]
+    #   "w3": [wx,wy,wz 0:3 | dout 3:3+F | pad] — the corner weights are
+    #         themselves a rank-1 product of the three fractional cell
+    #         weights, so only 3 columns ride the sort; the 8 corner rows
+    #         are rebuilt here with 16 VPU multiplies per 128-sample tile.
     s = pl.program_id(0)
     off = pl.multiple_of(off_ref[s], CH)
     row0 = pl.multiple_of(off // _LANE, CH // _LANE)
@@ -432,20 +440,38 @@ def _factor_kernel(
     lanT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 1)
     Tt = (subT % F == lanT).astype(dt)  # (128, F)
 
-    pf = pf_vmem[:, :]  # (32, CH): rows [w 0:8 | dout 8:8+F | pad]
+    pf = pf_vmem[:, :]  # (32, CH); see row layouts above
+    d0 = 3 if wpack == "w3" else 8
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
     w0 = wid_ref[s] * W
     w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
     mm = jnp.zeros((W, _LANE), jnp.float32)
     for k in range(CH // _LANE):
         sl = slice(k * _LANE, (k + 1) * _LANE)
+        if wpack == "w3":
+            wx = pf[0:1, sl].astype(jnp.float32)
+            wy = pf[1:2, sl].astype(jnp.float32)
+            wz = pf[2:3, sl].astype(jnp.float32)
+            W8 = jnp.concatenate(
+                [
+                    ((wx if dx else 1.0 - wx)
+                     * (wy if dy else 1.0 - wy)
+                     * (wz if dz else 1.0 - wz))
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                    for dz in (0, 1)
+                ],
+                axis=0,
+            ).astype(dt)  # (8, 128)
+        else:
+            W8 = pf[0:8, sl]
         we = jax.lax.dot_general(
-            Et, pf[0:8, sl],
+            Et, W8,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (128 feat, 128 samples)
         de = jax.lax.dot_general(
-            Tt, pf[8 : 8 + F, sl],
+            Tt, pf[d0 : d0 + F, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -469,17 +495,19 @@ def _factor_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "F", "W", "CH", "interpret")
+    jax.jit,
+    static_argnames=("n_rows", "F", "W", "CH", "interpret", "wpack"),
 )
 def table_grad_factors_sorted(
     sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
-    packed_sorted_t: Array,  # (32, N) rows [w 0:8 | dout 8:8+F | pad]
+    packed_sorted_t: Array,  # (32, N); row layout per `wpack`
     *,
     n_rows: int,
     F: int = 16,
     W: int = 512,
     CH: int = 2048,
     interpret: bool = False,
+    wpack: str = "w8",
 ) -> Array:
     """Per-row sums of the rank-1 cotangents ``w_i ⊗ dout_i`` grouped by
     ``sorted_idx`` — (n_rows, 128) f32 — without ever materializing the
@@ -510,7 +538,7 @@ def table_grad_factors_sorted(
         sorted_idx, n_rows, W, CH, n_slots, packed_sorted_t.shape[1]
     )
 
-    kernel = functools.partial(_factor_kernel, W=W, CH=CH, F=F)
+    kernel = functools.partial(_factor_kernel, W=W, CH=CH, F=F, wpack=wpack)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -700,3 +728,176 @@ def hash_lookup_combine(
         int(table.shape[0]), int(F), name, interpret, int(level_span),
         int(n_levels), int(level_base),
     )(table, idx, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _sized_lookup_combine3(
+    n_rows: int,
+    F: int,
+    compute_dtype_name: str,
+    interpret: bool,
+    level_span: int,
+    n_levels: int,
+    level_base: int,
+):
+    """w3-packed variant of :func:`_sized_lookup_combine`: the residual is
+    the three fractional cell weights (wx, wy, wz) instead of the 8 corner
+    weights — the corners are their rank-1 product, so only 3 columns ride
+    the backward's sort (11 int32 sort operands vs 17) and the kernel
+    rebuilds the corner rows in VMEM.  Same zero-positions-gradient
+    contract as the w8 path."""
+    cdt = None if compute_dtype_name == "none" else jnp.dtype(
+        compute_dtype_name
+    )
+    span = level_span or n_rows
+    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+    fdt = jnp.bfloat16 if cdt is not None else jnp.float32
+    NC = 20  # [wx wy wz | dout F | pad] — even, so bf16 pairs to 10 i32
+
+    def corner_weights(wx, wy, wz):
+        return jnp.stack(
+            [
+                (wx if dx else 1.0 - wx)
+                * (wy if dy else 1.0 - wy)
+                * (wz if dz else 1.0 - wz)
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=-1,
+        )
+
+    def plain(table, idx, wx, wy, wz):
+        t = table if cdt is None else table.astype(cdt)
+        g = jnp.take(t, idx, axis=0)
+        w = corner_weights(wx, wy, wz)
+        wc = w if cdt is None else w.astype(cdt)
+        return jnp.einsum(
+            "kc,kcf->kf", wc, g.reshape(g.shape[0], 8, F)
+        )
+
+    if W is None:
+        return plain
+
+    @jax.custom_vjp
+    def lookup_combine(table, idx, wx, wy, wz):
+        return plain(table, idx, wx, wy, wz)
+
+    def fwd(table, idx, wx, wy, wz):
+        return lookup_combine(table, idx, wx, wy, wz), (idx, wx, wy, wz)
+
+    def bwd(res, dout):
+        idx, wx, wy, wz = res
+        nlv = n_levels if level_span else 1
+        spn = level_span or n_rows
+        m = idx.shape[0] // nlv
+        packed = jnp.concatenate(
+            [
+                wx[:, None].astype(fdt),
+                wy[:, None].astype(fdt),
+                wz[:, None].astype(fdt),
+                dout.astype(fdt),
+                jnp.zeros((idx.shape[0], NC - 3 - F), fdt),
+            ],
+            axis=1,
+        )  # (N, NC)
+        carry = os.environ.get("NERFACC_FACTOR_MOVE", "carry") == "carry"
+        parts = []
+        for j in range(nlv):
+            base = (level_base + j) * spn if level_span else 0
+            idl = idx[j * m : (j + 1) * m] - base
+            pck = packed[j * m : (j + 1) * m]
+            if carry:
+                if fdt == jnp.bfloat16:
+                    cols = jax.lax.bitcast_convert_type(
+                        pck.reshape(m, NC // 2, 2), jnp.int32
+                    )
+                else:
+                    cols = jax.lax.bitcast_convert_type(pck, jnp.int32)
+                nc = cols.shape[1]
+                sorted_ops = jax.lax.sort(
+                    (idl,) + tuple(cols[:, c] for c in range(nc)),
+                    num_keys=1,
+                )
+                sidx = sorted_ops[0]
+                sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
+                if fdt == jnp.bfloat16:
+                    pfs = (
+                        jax.lax.bitcast_convert_type(sc, jnp.bfloat16)
+                        .transpose(0, 2, 1)
+                        .reshape(NC, m)
+                    )
+                else:
+                    pfs = jax.lax.bitcast_convert_type(sc, jnp.float32)
+            else:
+                sidx, perm = jax.lax.sort_key_val(
+                    idl, jnp.arange(m, dtype=jnp.int32)
+                )
+                pfs = jnp.take(
+                    pck, perm, axis=0, unique_indices=True
+                ).T
+            # Kernel contract is 32 rows; the tail rows are never read for
+            # wpack="w3" but keep the HBM operand tile-aligned.
+            pfs = jnp.concatenate(
+                [pfs, jnp.zeros((32 - NC, m), fdt)], axis=0
+            )
+            parts.append(
+                table_grad_factors_sorted(
+                    sidx, pfs, n_rows=spn, F=F, W=W,
+                    interpret=interpret, wpack="w3",
+                )
+            )
+        block = (
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        )
+        lo = level_base * spn if level_span else 0
+        hi = lo + nlv * spn
+        if lo == 0 and hi == n_rows:
+            dtable = block
+        else:
+            dtable = jnp.concatenate(
+                [
+                    jnp.zeros((lo, _LANE), jnp.float32),
+                    block,
+                    jnp.zeros((n_rows - hi, _LANE), jnp.float32),
+                ],
+                axis=0,
+            )
+        return (
+            dtable,
+            None,
+            jnp.zeros_like(wx),
+            jnp.zeros_like(wy),
+            jnp.zeros_like(wz),
+        )
+
+    lookup_combine.defvjp(fwd, bwd)
+    return lookup_combine
+
+
+def hash_lookup_combine3(
+    table: Array,  # (n_rows, 8*F) f32 master table
+    idx: Array,  # (N,) i32
+    wx: Array,  # (N,) fractional cell weights, one per axis
+    wy: Array,
+    wz: Array,
+    compute_dtype=None,
+    interpret: bool = False,
+    level_span: int = 0,
+    n_levels: int = 1,
+    level_base: int = 0,
+) -> Array:
+    """Fused gather + trilinear combine taking the three fractional cell
+    weights directly; the backward carries only (wx, wy, wz, dout) through
+    the sort and rebuilds corner weights in-kernel (wpack="w3").  Returns
+    ``(N, F)``.  Zero gradient to positions/weights by contract."""
+    assert table.ndim == 2 and table.shape[1] % 8 == 0
+    F = table.shape[1] // 8
+    assert 8 * F == _LANE, "factor path needs 128-wide rows"
+    if level_span and idx.shape[0] % n_levels:
+        level_span = 0
+    name = "none" if compute_dtype is None else jnp.dtype(compute_dtype).name
+    return _sized_lookup_combine3(
+        int(table.shape[0]), int(F), name, interpret, int(level_span),
+        int(n_levels), int(level_base),
+    )(table, idx, wx, wy, wz)

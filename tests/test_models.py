@@ -584,3 +584,54 @@ def test_fused_factor_carry_move_matches_take(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g_carry), np.asarray(g_take), rtol=1e-6, atol=1e-6
         )
+
+
+def test_fused_factor_w3_pack_matches_w8(monkeypatch):
+    """NERFACC_FACTOR_PACK=w3 (backward carries only the three fractional
+    cell weights; corner weights rebuilt in-kernel) must reproduce the w8
+    packing's forward and table gradient in both compute dtypes."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=256)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1021, 3), dtype=np.float32))
+    ct_holder = {}
+
+    def loss(p, enc):
+        y = enc.apply(p, x)
+        ct = ct_holder.setdefault(
+            "ct", jnp.asarray(
+                rng.standard_normal(y.shape).astype(np.float32)
+            )
+        )
+        return (y * ct).sum()
+
+    for cdt, tol in ((None, 1e-6), (jnp.bfloat16, 0.0)):
+        enc = HashGridEncoderFused(**kw, table_grad="factor",
+                                   compute_dtype=cdt)
+        params = enc.init(jax.random.PRNGKey(0), x[:8])
+        monkeypatch.setenv("NERFACC_FACTOR_PACK", "w8")
+        jax.clear_caches()  # env is read at trace time
+        y8 = enc.apply(params, x)
+        g8 = jax.grad(loss)(params, enc)["params"]["table"]
+        monkeypatch.setenv("NERFACC_FACTOR_PACK", "w3")
+        jax.clear_caches()
+        y3 = enc.apply(params, x)
+        g3 = jax.grad(loss)(params, enc)["params"]["table"]
+        monkeypatch.delenv("NERFACC_FACTOR_PACK")
+        jax.clear_caches()
+        np.testing.assert_allclose(
+            np.asarray(y3), np.asarray(y8), rtol=1e-6, atol=1e-7
+        )
+        if cdt is None:
+            np.testing.assert_allclose(
+                np.asarray(g3), np.asarray(g8), rtol=1e-5, atol=tol
+            )
+        else:
+            # bf16: w3 rounds (wx,wy,wz) where w8 rounds the f32-built
+            # corner products — bounded repacking noise, not drift.
+            denom = np.abs(np.asarray(g8)).max()
+            np.testing.assert_allclose(
+                np.asarray(g3), np.asarray(g8), atol=2e-2 * denom
+            )
