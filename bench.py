@@ -336,7 +336,13 @@ class _QualityRun:
                 occ_eval_fn=occ_eval_fn, key=key, warmup_steps=1,
             )
 
-        eval_chunk = 16384
+        # Scale the eval chunk inversely with encoder levels: the eval
+        # graph's sample-level intermediates are rays*48*n_levels, and the
+        # 16-level tcnn-parity config at 16384 rays exceeded the v5e HBM
+        # budget at AOT compile (s32[3*2^25] traversal temps + 8-corner
+        # gather intermediates).  4 levels keeps the round-2-proven 16384.
+        n_levels = int(encoder_cfg.get("n_levels", 4))
+        eval_chunk = 16384 if n_levels <= 8 else 4096
 
         @jax.jit
         def eval_render(params, occ_state, rays_o, rays_d):
@@ -490,10 +496,29 @@ def quality_phase(psnr_target: float):
     }
 
     if delta_steps and psnr_at_delta is not None:
+        out["psnr_at_delta_steps"] = round(psnr_at_delta, 2)
+        out["delta_steps"] = delta_steps
         # tcnn-parity encoder (scalar-exact hash, reference NGP config,
         # ngp.py:99-137) trained on the same data: equal-step and
         # equal-wall-clock PSNR deltas quantify what the fast fused
-        # layout trades for its speed.
+        # layout trades for its speed.  Its failure must not discard the
+        # main quality numbers already earned above.
+        try:
+            out.update(_delta_phase(
+                train_ds, test_ds, delta_steps, budget_s,
+                psnr_at_delta, time_at_delta,
+            ))
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            out["delta_error"] = repr(e)[:500]
+    return out
+
+
+def _delta_phase(train_ds, test_ds, delta_steps, budget_s, psnr_at_delta,
+                 time_at_delta):
+        out = {}
         hash_cfg = dict(
             encoder_type=os.environ.get("BENCH_DELTA_ENCODER", "hash"),
             n_levels=16, n_features_per_level=2, log2_hashmap_size=19,
@@ -535,9 +560,7 @@ def quality_phase(psnr_target: float):
             out["hash_equal_time_delta_db"] = round(
                 psnr_at_delta - psnr_h_time, 2
             )
-        out["psnr_at_delta_steps"] = round(psnr_at_delta, 2)
-        out["delta_steps"] = delta_steps
-    return out
+        return out
 
 
 BASELINE_SPS = 19.5e6  # reference: 2^18 samples/step * 20k steps / 269 s
@@ -599,16 +622,20 @@ def child_main():
     jnp.ones((8,), jnp.float32).sum().block_until_ready()
     print(f"backend up: {jax.devices()[0].platform}", file=sys.stderr, flush=True)
 
-    out = throughput_phase()
-    record = {
-        "metric": "ngp_occ_train_samples_per_sec",
-        "encoder": out["encoder"],
-        "value": round(out["samples_per_sec"], 1),
-        "unit": "samples/s (fwd+bwd, incl. occ-update overhead)",
-        "vs_baseline": round(out["samples_per_sec"] / BASELINE_SPS, 3),
-        "step_ms": out["step_ms"],
-        "occ_update_ms": out["occ_update_ms"],
-    }
+    if os.environ.get("BENCH_THROUGHPUT", "1") != "0":
+        out = throughput_phase()
+        record = {
+            "metric": "ngp_occ_train_samples_per_sec",
+            "encoder": out["encoder"],
+            "value": round(out["samples_per_sec"], 1),
+            "unit": "samples/s (fwd+bwd, incl. occ-update overhead)",
+            "vs_baseline": round(out["samples_per_sec"] / BASELINE_SPS, 3),
+            "step_ms": out["step_ms"],
+            "occ_update_ms": out["occ_update_ms"],
+        }
+    else:  # quality-only debug runs (BENCH_THROUGHPUT=0)
+        record = {"metric": "ngp_occ_train_samples_per_sec", "value": 0.0,
+                  "unit": "quality-only run", "vs_baseline": 0.0}
     if os.environ.get("BENCH_QUALITY", "1") != "0":
         print(json.dumps(dict(record, partial=True)), flush=True)
         try:
@@ -616,7 +643,10 @@ def child_main():
                 quality_phase(float(os.environ.get("BENCH_PSNR_TARGET", "33")))
             )
         except Exception as e:  # keep the primary metric even if phase 2 dies
-            record["quality_error"] = repr(e)[:200]
+            import traceback
+
+            traceback.print_exc()  # full story to stderr for post-mortems
+            record["quality_error"] = repr(e)[:2000]
     print(json.dumps(record), flush=True)
 
 
