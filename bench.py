@@ -20,16 +20,30 @@ workload: 800x800 textured procedural views, 8k-ray batches),
 BENCH_DELTA_STEPS (fused-vs-hash parity runs; 0 disables).
 
 Resilience: the TPU is reached through a relay that sometimes fails to
-initialize (UNAVAILABLE at first device use) or wedges.  The top-level
-process therefore runs the actual benchmark in a CHILD process and retries
-with waits on failure (never restarting the relay, per the documented
-protocol); the child prints a *partial* JSON record after the throughput
-phase so a later crash still leaves a usable number.  Whatever happens,
-stdout ends with exactly one parseable JSON line (an ``error`` field on
-unrecoverable failure).  Knobs: BENCH_ATTEMPTS (default 3),
-BENCH_ATTEMPT_TIMEOUT seconds (default 3600 — the quality phase plus
-remote compiles through the tunnel can legitimately take ~45 min),
-BENCH_RETRY_WAITS.
+initialize (UNAVAILABLE at first device use) or wedges — and the DRIVER
+running this script has its own outer timeout (round 3 proved it: rc=124
+with an empty stdout).  The top-level process therefore runs the actual
+benchmark in a CHILD process and:
+
+- **streams** the child's output live — every JSON record the child
+  emits (a *partial* record lands right after the throughput phase) is
+  echoed to stdout THE MOMENT it appears, so an outer kill at any point
+  still leaves the best-so-far number parseable in the output;
+- installs a SIGTERM/SIGINT handler that prints the best record seen
+  (or an error record carrying the last verified number) before dying —
+  ``timeout(1)`` sends SIGTERM first;
+- watchdogs backend init: if the child hasn't reported ``backend up``
+  within BENCH_INIT_TIMEOUT (default 600 s) the tunnel is presumed
+  wedged, the attempt is killed and retried after a wait (never
+  restarting the relay, per the documented protocol);
+- fits everything inside a global deadline BENCH_DEADLINE (default
+  2400 s wall): attempt timeouts shrink to the remaining budget and the
+  child bounds its quality phase to the time actually left.
+
+Whatever happens, stdout ends with exactly one parseable JSON line (an
+``error`` field on unrecoverable failure).  Knobs: BENCH_ATTEMPTS
+(default 3), BENCH_ATTEMPT_TIMEOUT seconds (default 1800),
+BENCH_RETRY_WAITS, BENCH_INIT_TIMEOUT, BENCH_DEADLINE.
 """
 
 from __future__ import annotations
@@ -428,7 +442,7 @@ class _QualityRun:
         self.train_elapsed += time.perf_counter() - t0
 
 
-def quality_phase(psnr_target: float):
+def quality_phase(psnr_target: float, time_left_fn=None, emit_partial=None):
     """Reference-class quality gate + encoder-parity deltas.
 
     Returns ``{psnr_target, time_to_psnr_s, final_psnr,
@@ -463,10 +477,13 @@ def quality_phase(psnr_target: float):
     run = _QualityRun(train_ds, test_ds, main_cfg, tag="fused")
     run.compile()
 
-    # Wall-clock budget (train time, per run): the 800x800 gate has never
-    # been unbounded-validated through the tunnel — cap it so one bench
-    # attempt reliably fits BENCH_ATTEMPT_TIMEOUT and reports what it got.
-    budget_s = float(os.environ.get("BENCH_Q_BUDGET", "1200"))
+    # Wall-clock budget (train time, per run): cap it so one bench attempt
+    # reliably fits the attempt window, and additionally bound it by the
+    # wall-clock actually left in this attempt (time_left_fn, parent-fed).
+    budget_s = float(os.environ.get("BENCH_Q_BUDGET", "600"))
+    if time_left_fn is not None:
+        # Reserve headroom for a final eval + the delta phase's compile.
+        budget_s = max(60.0, min(budget_s, time_left_fn() * 0.5))
 
     reached = None
     psnr_val = 0.0
@@ -498,14 +515,25 @@ def quality_phase(psnr_target: float):
     if delta_steps and psnr_at_delta is not None:
         out["psnr_at_delta_steps"] = round(psnr_at_delta, 2)
         out["delta_steps"] = delta_steps
+    # The quality numbers are now earned — put them on the wire before the
+    # delta phase (a fresh encoder compile chain) gets a chance to die.
+    if emit_partial is not None:
+        emit_partial(out)
+    if delta_steps and psnr_at_delta is not None:
+        if time_left_fn is not None and time_left_fn() < 240:
+            out["delta_error"] = "skipped: insufficient time left in attempt"
+            return out
         # tcnn-parity encoder (scalar-exact hash, reference NGP config,
         # ngp.py:99-137) trained on the same data: equal-step and
         # equal-wall-clock PSNR deltas quantify what the fast fused
         # layout trades for its speed.  Its failure must not discard the
         # main quality numbers already earned above.
         try:
+            d_budget = budget_s
+            if time_left_fn is not None:
+                d_budget = max(60.0, min(budget_s, time_left_fn() - 180))
             out.update(_delta_phase(
-                train_ds, test_ds, delta_steps, budget_s,
+                train_ds, test_ds, delta_steps, d_budget,
                 psnr_at_delta, time_at_delta,
             ))
         except Exception as e:
@@ -590,6 +618,8 @@ _LAST_GOOD_PATH = os.environ.get(
 def _save_last_good(record: dict) -> None:
     if os.environ.get("BENCH_CPU") == "1":
         return  # dev-check smoke numbers are not evidence
+    if not record.get("value"):
+        return  # a zero/absent primary metric is not a "good" record
     try:
         with open(_LAST_GOOD_PATH, "w") as f:
             json.dump(dict(record, measured_at_unix=round(time.time(), 1),
@@ -610,8 +640,14 @@ def _load_last_good():
 
 def child_main():
     """The actual benchmark. Prints a partial JSON record after the
-    throughput phase, then the final one; the parent keeps the last
-    parseable line it sees."""
+    throughput phase (and after the main quality run), then the final one;
+    the parent relays each to stdout the moment it appears."""
+    t_child = time.monotonic()
+    attempt_budget = float(os.environ.get("BENCH_TIME_LEFT", "1800"))
+
+    def time_left():
+        return attempt_budget - (time.monotonic() - t_child)
+
     # Fail fast (and cheap) if the backend can't come up at all.
     import jax
 
@@ -638,10 +674,16 @@ def child_main():
                   "unit": "quality-only run", "vs_baseline": 0.0}
     if os.environ.get("BENCH_QUALITY", "1") != "0":
         print(json.dumps(dict(record, partial=True)), flush=True)
+
+        def emit_partial(quality_out):
+            print(json.dumps(dict(record, **quality_out, partial=True)),
+                  flush=True)
+
         try:
-            record.update(
-                quality_phase(float(os.environ.get("BENCH_PSNR_TARGET", "33")))
-            )
+            record.update(quality_phase(
+                float(os.environ.get("BENCH_PSNR_TARGET", "33")),
+                time_left_fn=time_left, emit_partial=emit_partial,
+            ))
         except Exception as e:  # keep the primary metric even if phase 2 dies
             import traceback
 
@@ -665,68 +707,169 @@ def _last_json_line(text: str):
 
 def parent_main():
     """Retry harness: run child_main in a subprocess with bounded retries
-    and waits (the relay protocol: wait, never restart). Always ends stdout
-    with one parseable JSON line."""
-    import subprocess
+    and waits (the relay protocol: wait, never restart).
 
+    Driver-timeout-proof by construction: every record the child prints is
+    relayed to stdout immediately; SIGTERM/SIGINT finalize the best-so-far
+    record before exit; a watchdog kills an attempt whose backend never
+    comes up; and all attempts+waits fit inside BENCH_DEADLINE.  Stdout
+    always ends with one parseable JSON line.
+    """
+    import queue
+    import signal
+    import subprocess
+    import threading
+
+    t_start = time.monotonic()
+    deadline = float(os.environ.get("BENCH_DEADLINE", "2400"))
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    timeout_s = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "3600"))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
     waits = [
         float(w)
-        for w in os.environ.get("BENCH_RETRY_WAITS", "120,300,600").split(",")
+        for w in os.environ.get("BENCH_RETRY_WAITS", "60,180,300").split(",")
     ]
-    best = None
-    last_err = "no attempts ran"
-    for attempt in range(attempts):
-        print(f"[bench] attempt {attempt + 1}/{attempts}", file=sys.stderr,
-              flush=True)
-        env = dict(os.environ, BENCH_CHILD="1")
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, start_new_session=True,
-        )
-        try:
-            out, _ = proc.communicate(timeout=timeout_s)
-            rc = proc.returncode
-        except subprocess.TimeoutExpired:
-            # Last resort: kill the exact process group we started. A killed
-            # TPU process can wedge the relay, so follow with an extra wait.
-            import signal
 
+    state = {"best": None, "finalized": False, "proc": None}
+
+    def finalize(reason=None):
+        """Print the definitive last line exactly once (signal-safe-ish)."""
+        if state["finalized"]:
+            return
+        state["finalized"] = True
+        best = state["best"]
+        if best is not None:
+            rec = dict(best)
+            if rec.pop("partial", None):
+                rec["quality_error"] = rec.get(
+                    "quality_error", "quality phase did not complete"
+                )
+            if reason:
+                rec.setdefault("note", str(reason)[:300])
+            _save_last_good(rec)
+            print(json.dumps(rec), flush=True)
+        else:
+            err = _error_record(str(reason or "no record produced"))
+            prior = _load_last_good()
+            if prior is not None:
+                err["last_known_good"] = prior
+            print(json.dumps(err), flush=True)
+
+    def on_signal(signum, frame):
+        finalize(f"killed by signal {signum} after "
+                 f"{time.monotonic() - t_start:.0f}s")
+        proc = state["proc"]
+        if proc is not None:
             try:
                 os.killpg(proc.pid, signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 pass
-            out, _ = proc.communicate()
-            rc = "timeout"
-        sys.stderr.write(out[-4000:] if out else "")
-        rec = _last_json_line(out or "")
-        if rec is not None and "error" not in rec:
-            if not rec.get("partial"):
-                _save_last_good(rec)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    last_err = "no attempts ran"
+    for attempt in range(attempts):
+        remaining = deadline - (time.monotonic() - t_start)
+        if remaining < 180:
+            last_err = f"deadline exhausted ({remaining:.0f}s left)"
+            break
+        budget = min(attempt_timeout, remaining - 30)
+        print(
+            f"[bench] attempt {attempt + 1}/{attempts} "
+            f"(budget {budget:.0f}s)", file=sys.stderr, flush=True,
+        )
+        env = dict(os.environ, BENCH_CHILD="1",
+                   BENCH_TIME_LEFT=str(int(budget)))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, start_new_session=True, bufsize=1,
+        )
+        state["proc"] = proc
+
+        lines: "queue.Queue" = queue.Queue()
+
+        def pump(p=proc, q=lines):
+            for line in p.stdout:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=pump, daemon=True).start()
+
+        t_attempt = time.monotonic()
+        saw_backend = False
+        got_final = False
+        tail = []
+        rc = None
+        while True:
+            elapsed = time.monotonic() - t_attempt
+            if elapsed > budget or (not saw_backend
+                                    and elapsed > init_timeout):
+                why = ("attempt timeout" if elapsed > budget
+                       else "backend-init watchdog (tunnel wedged?)")
+                print(f"[bench] {why} after {elapsed:.0f}s — killing child",
+                      file=sys.stderr, flush=True)
+                # Kill the exact process group we started; a killed TPU
+                # process can wedge the relay, so the retry adds settle time.
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                rc = "timeout"
+                break
+            try:
+                line = lines.get(timeout=5.0)
+            except queue.Empty:
+                continue
+            if line is None:
+                proc.wait()
+                rc = proc.returncode
+                break
+            tail.append(line)
+            tail = tail[-40:]
+            s = line.strip()
+            if "backend up" in s:
+                saw_backend = True
+            rec = None
+            if s.startswith("{") and s.endswith("}"):
+                try:
+                    obj = json.loads(s)
+                    if isinstance(obj, dict) and "metric" in obj:
+                        rec = obj
+                except ValueError:
+                    pass
+            if rec is not None and "error" not in rec:
+                # Relay to stdout NOW — an outer kill after this point
+                # still leaves the number parseable in the output.
                 print(json.dumps(rec), flush=True)
-                return
-            best = rec  # throughput number survived; quality phase died
-        last_err = f"attempt {attempt + 1} rc={rc}; tail: {(out or '')[-300:]}"
+                prev = state["best"]
+                if (prev is None or not rec.get("partial")
+                        or prev.get("partial")):
+                    state["best"] = rec
+                if not rec.get("partial"):
+                    got_final = True
+            else:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+        state["proc"] = None
+        if got_final:
+            finalize()
+            return
+        last_err = (f"attempt {attempt + 1} rc={rc}; "
+                    f"tail: {''.join(tail)[-300:]}")
         if attempt + 1 < attempts:
             wait = waits[min(attempt, len(waits) - 1)]
             if rc == "timeout":
-                wait += 120.0  # extra settle time after a killed TPU process
-            print(f"[bench] waiting {wait:.0f}s before retry", file=sys.stderr,
-                  flush=True)
+                wait += 60.0  # extra settle time after a killed TPU process
+            wait = max(0.0, min(
+                wait, deadline - (time.monotonic() - t_start) - 240
+            ))
+            print(f"[bench] waiting {wait:.0f}s before retry",
+                  file=sys.stderr, flush=True)
             time.sleep(wait)
-    if best is not None:
-        best.pop("partial", None)
-        best["quality_error"] = "quality phase did not complete in any attempt"
-        _save_last_good(best)
-        print(json.dumps(best), flush=True)
-    else:
-        err = _error_record(last_err)
-        prior = _load_last_good()
-        if prior is not None:
-            err["last_known_good"] = prior
-        print(json.dumps(err), flush=True)
+    finalize(last_err)
 
 
 def main():
