@@ -460,7 +460,11 @@ def quality_phase(psnr_target: float, time_left_fn=None, emit_partial=None):
     num_rays = int(os.environ.get("BENCH_Q_RAYS", "8192"))
     max_steps = int(os.environ.get("BENCH_Q_STEPS", "6000"))
     eval_every = int(os.environ.get("BENCH_Q_EVERY", "200"))
-    delta_steps = int(os.environ.get("BENCH_DELTA_STEPS", "400"))
+    # 200 (not 400): the tcnn-parity hash encoder trains ~30x slower than
+    # the fused layout at this workload (2.4 s/step measured), so the
+    # equal-step comparison must sit where the hash run can actually reach
+    # it inside one bench attempt (200 steps ~ 8 min).
+    delta_steps = int(os.environ.get("BENCH_DELTA_STEPS", "200"))
 
     train_ds, test_ds = make_loaders(
         num_rays=num_rays, width=width, height=width, n_train=36, n_test=1,
@@ -555,11 +559,18 @@ def _delta_phase(train_ds, test_ds, delta_steps, budget_s, psnr_at_delta,
         ref.compile()
         psnr_h_step = None
         psnr_h_time = None
+        chunk = 100
         while ref.step < 4 * delta_steps and ref.train_elapsed < budget_s:
+            if ref.step:
+                # Time-aware chunks: the hash run measured 2.4 s/step at the
+                # 800x800 workload — fixed 100-step chunks are 4-minute
+                # blind spots that overshoot budgets. Aim for ~45 s chunks.
+                per = ref.train_elapsed / ref.step
+                chunk = max(10, min(100, int(45.0 / max(per, 1e-6))))
             n = (
-                min(100, delta_steps - ref.step)
+                min(chunk, delta_steps - ref.step)
                 if ref.step < delta_steps
-                else 100
+                else chunk
             )
             if psnr_h_time is None and ref.step > 0:
                 # Aim the equal-WALL-CLOCK eval at the fused run's elapsed
@@ -856,6 +867,13 @@ def parent_main():
         state["proc"] = None
         if got_final:
             finalize()
+            return
+        best = state["best"]
+        if best is not None and "time_to_psnr_s" in best:
+            # Throughput AND the main quality numbers are already earned —
+            # only the delta phase died. A full retry would re-pay ~20 min
+            # of compiles for a secondary field; finalize with what we have.
+            finalize(f"delta phase incomplete (attempt rc={rc})")
             return
         last_err = (f"attempt {attempt + 1} rc={rc}; "
                     f"tail: {''.join(tail)[-300:]}")

@@ -82,6 +82,9 @@ def main() -> None:
                    choices=["f32", "bf16"])
     p.add_argument("--parse-only", type=str, default=None,
                    help="skip capture; parse an existing trace dir")
+    p.add_argument("--occ-update", action="store_true",
+                   help="trace the occupancy-update graph instead of the "
+                        "train step (the 46-48 ms secondary target)")
     args = p.parse_args()
 
     if args.parse_only:
@@ -118,7 +121,10 @@ def main() -> None:
         n_levels=int(os.environ.get("BENCH_LEVELS", "4")),
         n_features_per_level=int(os.environ.get("BENCH_FEATS", "16")),
         log2_hashmap_size=int(os.environ.get("BENCH_LOG2T", "18")),
-        table_grad=os.environ.get("BENCH_TGRAD", "auto"),
+        # Match bench.py's default ("factor", the shipped round-3 winner) —
+        # "auto" resolves to the scatter fallback in hash_soa.py and would
+        # silently trace the wrong backward.
+        table_grad=os.environ.get("BENCH_TGRAD", "factor"),
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None,
     )
     params = field.init(
@@ -153,7 +159,28 @@ def main() -> None:
         u, opt2 = tx.update(grads, opt, params)
         return optax.apply_updates(params, u), opt2, l
 
+    @jax.jit
+    def occ_update(state, params, key):
+        occ_eval_fn = (
+            lambda x: field.apply(params, x, method="query_density")
+            * step_size
+        )
+        return est._update(state, step=10**9, occ_eval_fn=occ_eval_fn,
+                           key=key)
+
     key = jax.random.PRNGKey(0)
+    if args.occ_update:
+        outs = occ_update(state, params, key)
+        jax.block_until_ready(outs)
+        os.makedirs(args.out, exist_ok=True)
+        with jax.profiler.trace(args.out):
+            for _ in range(args.steps):
+                key, sub = jax.random.split(key)
+                outs = occ_update(state, params, sub)
+            jax.block_until_ready(outs)
+        parse(args.out, args.top, args.steps)
+        return
+
     for _ in range(3):
         key, sub = jax.random.split(key)
         params, opt, _ = train_step(params, opt, sub)
