@@ -85,6 +85,10 @@ def main() -> None:
     p.add_argument("--occ-update", action="store_true",
                    help="trace the occupancy-update graph instead of the "
                         "train step (the 46-48 ms secondary target)")
+    p.add_argument("--dump-hlo", type=str, default=None, metavar="PATH",
+                   help="AOT-compile the selected graph and write its "
+                        "optimized HLO to PATH (matches trace fusion.N "
+                        "names to op contents), skipping the device run")
     args = p.parse_args()
 
     if args.parse_only:
@@ -169,6 +173,16 @@ def main() -> None:
                            key=key)
 
     key = jax.random.PRNGKey(0)
+    if args.dump_hlo:
+        if args.occ_update:
+            lowered = occ_update.lower(state, params, key)
+        else:
+            lowered = train_step.lower(params, opt, key)
+        txt = lowered.compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO ({len(txt)} bytes) -> {args.dump_hlo}")
+        return
     if args.occ_update:
         outs = occ_update(state, params, key)
         jax.block_until_ready(outs)
