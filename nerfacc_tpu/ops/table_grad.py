@@ -62,6 +62,18 @@ def on_tpu() -> bool:
         return False
 
 
+def _window_candidates():
+    """Window sizes tried largest-first; NERFACC_TGRAD_W pins one.
+
+    The windowed kernels are DMA-bound (round-4 trace: 5.4 ms across 4
+    levels vs a ~0.35 ms MXU share), so W trades accumulator-flush traffic
+    (smaller W = more (W, 128) output tiles written) against worklist
+    slots and one-hot matmul width — an empirical, device-measured knob.
+    """
+    w = os.environ.get("NERFACC_TGRAD_W")
+    return (int(w),) if w else (512, 256, 128)
+
+
 def _worklist(
     sorted_idx: Array, n_rows: int, W: int, CH: int, n_slots: int,
     n_payload: int,
@@ -273,7 +285,9 @@ def _sized_lookup(
         compute_dtype_name
     )
     span = level_span or n_rows
-    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+    W = next(
+        (w for w in _window_candidates() if span % w == 0), None
+    )
 
     def plain(table, idx):
         t = table if cdt is None else table.astype(cdt)
@@ -592,7 +606,9 @@ def _sized_lookup_combine(
         compute_dtype_name
     )
     span = level_span or n_rows
-    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+    W = next(
+        (w for w in _window_candidates() if span % w == 0), None
+    )
     fdt = jnp.bfloat16 if cdt is not None else jnp.float32
 
     def plain(table, idx, w):
@@ -750,7 +766,9 @@ def _sized_lookup_combine3(
         compute_dtype_name
     )
     span = level_span or n_rows
-    W = next((w for w in (512, 256, 128) if span % w == 0), None)
+    W = next(
+        (w for w in _window_candidates() if span % w == 0), None
+    )
     fdt = jnp.bfloat16 if cdt is not None else jnp.float32
     NC = 20  # [wx wy wz | dout F | pad] — even, so bf16 pairs to 10 i32
 
