@@ -170,12 +170,12 @@ def throughput_phase():
                 stratified=True,
                 key=key,
                 sample_capacity=sample_capacity,
-                # K=5 measured best at this shell workload (K4 7.19M / K5
-                # 7.02M / K6 6.83M / K8 6.59M / K10 6.16M samples/s) —
-                # samples/step stays ~capacity-full down to K4, so smaller
-                # budgets purely cut traversal; 5 keeps one segment of
-                # headroom over the measured knee.
-                max_macro_segments=int(os.environ.get("BENCH_MACROK", "5")),
+                # K=4 (round-4 device A/B: 11.19M vs 10.87M samples/s at
+                # K5 with the w3 pack) — samples/step stays ~capacity-full
+                # down to K4 on the shell workload, so the smaller budget
+                # purely cuts traversal; macro truncation is reported in
+                # extras if a scene ever outgrows it.
+                max_macro_segments=int(os.environ.get("BENCH_MACROK", "4")),
             )
             return optax.huber_loss(colors, pixels, delta=1.0).mean(), n_samp
 

@@ -379,10 +379,13 @@ class HashGridEncoderFused(nn.Module):
                 # materialized or permuted (ops/table_grad.py factor path).
                 # Contract: zero gradient to w (positions carry no grad in
                 # the NGP training paths this encoder serves).
-                # NERFACC_FACTOR_PACK=w3 carries only the three fractional
+                # NERFACC_FACTOR_PACK=w3 (the DEFAULT since the round-4
+                # device A/B: 10.87M vs 9.58M samples/s end-to-end; w8
+                # stays as the fallback) carries only the three fractional
                 # weights through the backward's sort (11 int32 operands vs
-                # 17) and rebuilds the 8 corner weights in-kernel.
-                if os.environ.get("NERFACC_FACTOR_PACK", "w8") == "w3":
+                # 17) and rebuilds the 8 corner weights in-kernel — sort
+                # cost is ~linear in operand count (round-4 trace).
+                if os.environ.get("NERFACC_FACTOR_PACK", "w3") == "w3":
                     from ..ops.table_grad import hash_lookup_combine3
 
                     out = hash_lookup_combine3(

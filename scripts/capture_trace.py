@@ -155,7 +155,7 @@ def main() -> None:
                 near_plane=0.0, far_plane=1e10,
                 render_step_size=step_size, render_bkgd=bkgd,
                 stratified=True, key=key, sample_capacity=cap,
-                max_macro_segments=5,
+                max_macro_segments=int(os.environ.get("BENCH_MACROK", "4")),
             )
             return optax.huber_loss(c, pixels, delta=1.0).mean(), n
 
