@@ -627,7 +627,14 @@ def traverse_and_compact(
     kept = jnp.repeat(jnp.arange(cap_c, dtype=jnp.int32) < ctotal, C) & (
         vbit == 1
     )
-    near_r = jnp.repeat(jnp.take(near, r_c, indices_are_sorted=True), C)
+    # Barrier between the take and the repeat: XLA otherwise fuses the
+    # repeat INTO the gather, turning cap_c chunk indices into capacity
+    # per-sample indices — 4x the per-index transaction cost (round-4 HLO
+    # fusion.5: 3.74 ms at 7.1 ns/index for what is a 131k-index gather).
+    near_c = jax.lax.optimization_barrier(
+        jnp.take(near, r_c, indices_are_sorted=True)
+    )
+    near_r = jnp.repeat(near_c, C)
     t_starts = _ladder_at(near_r, p, step_size, cone_angle)
     t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)
     t_ends = jnp.where(kept, t_ends, t_starts)

@@ -788,6 +788,33 @@ def _sized_lookup_combine3(
     def plain(table, idx, wx, wy, wz):
         t = table if cdt is None else table.astype(cdt)
         g = jnp.take(t, idx, axis=0)
+        if os.environ.get("NERFACC_COMBINE", "mxu") == "mxu":
+            # Lane-native combine: the einsum form makes XLA relayout the
+            # (N, 128) gather output to column-major first (round-4 HLO:
+            # copy.216 = 1.59 ms train / copy.9 = 3.15 ms occ-update on
+            # the 0.5-1 GB tensor).  Instead build the corner weights
+            # directly at 128 lanes with iota masks ((k,1) broadcasts —
+            # no layout movement) and fold the corner sum into one
+            # constant 0/1 MXU matmul that consumes g row-major.  Unlike
+            # the round-3 lane-aligned loser, the backward here is the
+            # custom-VJP factor path — autodiff never differentiates
+            # through this forward, so no cotangent blowup.
+            lane = jnp.arange(_LANE, dtype=jnp.int32)
+            c = lane // F
+            dt = g.dtype
+            bx, by, bz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+            wB = (
+                jnp.where(bx[None, :] == 1, wx[:, None], 1.0 - wx[:, None])
+                * jnp.where(by[None, :] == 1, wy[:, None], 1.0 - wy[:, None])
+                * jnp.where(bz[None, :] == 1, wz[:, None], 1.0 - wz[:, None])
+            ).astype(dt)
+            S = (lane[:, None] % F == jnp.arange(F)[None, :]).astype(dt)
+            out = jax.lax.dot_general(
+                wB * g, S,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(dt)
         w = corner_weights(wx, wy, wz)
         wc = w if cdt is None else w.astype(cdt)
         return jnp.einsum(

@@ -621,8 +621,13 @@ def test_fused_factor_w3_pack_matches_w8(monkeypatch):
         g3 = jax.grad(loss)(params, enc)["params"]["table"]
         monkeypatch.delenv("NERFACC_FACTOR_PACK")
         jax.clear_caches()
+        # w3's forward is the lane-native MXU combine (f32 accumulation,
+        # one rounding at the end) while w8 keeps the einsum — identical
+        # math, different accumulation order, so bound by output ulps.
+        ydenom = np.abs(np.asarray(y8, np.float32)).max()
         np.testing.assert_allclose(
-            np.asarray(y3), np.asarray(y8), rtol=1e-6, atol=1e-7
+            np.asarray(y3, np.float32), np.asarray(y8, np.float32),
+            atol=(2e-7 if cdt is None else 1e-2) * ydenom,
         )
         if cdt is None:
             np.testing.assert_allclose(
