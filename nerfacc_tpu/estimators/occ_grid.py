@@ -443,12 +443,33 @@ class OccGridEstimator(AbstractEstimator):
                         ]
                         .set(cell_arange, mode="drop", unique_indices=True)
                     )
-                u = jax.random.randint(
-                    k_occ, (n_cells,), 0, jnp.maximum(total, 1), jnp.int32
-                )
+                if os.environ.get("NERFACC_OCC_DRAW", "sys") == "sys":
+                    # Systematic draw: ranks at a fixed fractional stride
+                    # from one random offset.  Marginally each occupied
+                    # cell is still drawn with probability n/total, and
+                    # the SORTED occupied list makes the ranks ascending —
+                    # a monotone gather instead of 512k random 4 B
+                    # transactions (7.1 ns each, 3.7 ms of the round-4
+                    # occ-update trace).  Spatially it stratifies the
+                    # draw, which only helps an EMA refresh.
+                    off = jax.random.uniform(k_occ, ())
+                    u = (
+                        (jnp.arange(n_cells, dtype=jnp.float32) + off)
+                        * (jnp.maximum(total, 1).astype(jnp.float32)
+                           / n_cells)
+                    ).astype(jnp.int32)
+                    take_kw = dict(indices_are_sorted=True)
+                else:
+                    u = jax.random.randint(
+                        k_occ, (n_cells,), 0, jnp.maximum(total, 1),
+                        jnp.int32,
+                    )
+                    take_kw = {}
                 # Nothing occupied yet -> harmless uniform-over-all fallback.
                 occupied_idx = jnp.where(
-                    total > 0, jnp.take(occupied_cells, u), uniform_idx
+                    total > 0,
+                    jnp.take(occupied_cells, u, **take_kw),
+                    uniform_idx,
                 )
                 lvl_indices.append(
                     jnp.concatenate([uniform_idx, occupied_idx])

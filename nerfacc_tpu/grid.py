@@ -627,13 +627,14 @@ def traverse_and_compact(
     kept = jnp.repeat(jnp.arange(cap_c, dtype=jnp.int32) < ctotal, C) & (
         vbit == 1
     )
-    # Barrier between the take and the repeat: XLA otherwise fuses the
-    # repeat INTO the gather, turning cap_c chunk indices into capacity
-    # per-sample indices — 4x the per-index transaction cost (round-4 HLO
-    # fusion.5: 3.74 ms at 7.1 ns/index for what is a 131k-index gather).
-    near_c = jax.lax.optimization_barrier(
-        jnp.take(near, r_c, indices_are_sorted=True)
-    )
+    # NERFACC_NEAR_BARRIER=1 stops XLA fusing the repeat INTO the gather
+    # (which turns cap_c chunk indices into capacity per-sample indices).
+    # MEASURED NEUTRAL on device (round-4 A/B: 44.69 vs 44.67 ms) despite
+    # the 4x index count — the fused gather's extra indices are apparently
+    # covered by the same transactions — so the default stays off.
+    near_c = jnp.take(near, r_c, indices_are_sorted=True)
+    if os.environ.get("NERFACC_NEAR_BARRIER", "0") == "1":
+        near_c = jax.lax.optimization_barrier(near_c)
     near_r = jnp.repeat(near_c, C)
     t_starts = _ladder_at(near_r, p, step_size, cone_angle)
     t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)

@@ -788,17 +788,18 @@ def _sized_lookup_combine3(
     def plain(table, idx, wx, wy, wz):
         t = table if cdt is None else table.astype(cdt)
         g = jnp.take(t, idx, axis=0)
-        if os.environ.get("NERFACC_COMBINE", "mxu") == "mxu":
-            # Lane-native combine: the einsum form makes XLA relayout the
-            # (N, 128) gather output to column-major first (round-4 HLO:
-            # copy.216 = 1.59 ms train / copy.9 = 3.15 ms occ-update on
-            # the 0.5-1 GB tensor).  Instead build the corner weights
-            # directly at 128 lanes with iota masks ((k,1) broadcasts —
-            # no layout movement) and fold the corner sum into one
-            # constant 0/1 MXU matmul that consumes g row-major.  Unlike
-            # the round-3 lane-aligned loser, the backward here is the
-            # custom-VJP factor path — autodiff never differentiates
-            # through this forward, so no cotangent blowup.
+        if os.environ.get("NERFACC_COMBINE", "einsum") == "mxu":
+            # Lane-native combine (MEASURED NEGATIVE, round-4 device A/B:
+            # step 48.1 vs 44.7 ms; occ update regressed too).  The idea:
+            # the einsum form makes XLA relayout the (N, 128) gather
+            # output to column-major (copy.216 = 1.59 ms train / copy.9 =
+            # 3.15 ms occ-update), so build corner weights at 128 lanes
+            # from (k,1) broadcasts and fold the corner sum into one
+            # constant 0/1 MXU matmul consuming g row-major.  On device
+            # the explicit (N, 128) weight tensor is real extra traffic
+            # that exceeds the relayout it saves — the same physics that
+            # killed round 3's lane-aligned combine on the autodiff path.
+            # Kept opt-in for the record.
             lane = jnp.arange(_LANE, dtype=jnp.int32)
             c = lane // F
             dt = g.dtype
