@@ -597,6 +597,16 @@ def traverse_and_compact(
         # fusion) while its bitonic sort is parallel.
         keys = slot.reshape(-1)
         vals = packed.reshape(-1)
+        # Carry each chunk's near-plane THROUGH the sort as a bitcast
+        # third operand (~n_rays*nch extra int32 through the merge network)
+        # so the decode below needs NO per-chunk near gather at all — the
+        # same carry-beats-gather physics as the factor-carry table
+        # gradient.  The row is known pre-sort (rows_ch), so this is free
+        # information the scatter path must re-derive with a gather.
+        nearb = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(near[:, None], (n_rays, nch)), jnp.int32
+        ).reshape(-1)
+        fill_near = jax.lax.bitcast_convert_type(near[-1], jnp.int32)
         if keys.shape[0] < cap_c:  # capacity exceeds the chunk count
             pad = cap_c - keys.shape[0]
             keys = jnp.concatenate(
@@ -605,13 +615,19 @@ def traverse_and_compact(
             vals = jnp.concatenate(
                 [vals, jnp.full((pad,), fill_packed, jnp.int32)]
             )
-        _, packed_sorted = jax.lax.sort_key_val(keys, vals)
-        inv = jnp.where(
-            jnp.arange(cap_c, dtype=jnp.int32) < ctotal,
-            packed_sorted[:cap_c],
-            fill_packed,
+            nearb = jnp.concatenate(
+                [nearb, jnp.full((pad,), fill_near, jnp.int32)]
+            )
+        _, packed_sorted, near_sorted = jax.lax.sort(
+            (keys, vals, nearb), num_keys=1
+        )
+        live_c = jnp.arange(cap_c, dtype=jnp.int32) < ctotal
+        inv = jnp.where(live_c, packed_sorted[:cap_c], fill_packed)
+        near_c = jax.lax.bitcast_convert_type(
+            jnp.where(live_c, near_sorted[:cap_c], fill_near), jnp.float32
         )
     else:
+        near_c = None
         inv = (
             jnp.full((cap_c,), fill_packed, jnp.int32)
             .at[slot.reshape(-1)]
@@ -627,14 +643,14 @@ def traverse_and_compact(
     kept = jnp.repeat(jnp.arange(cap_c, dtype=jnp.int32) < ctotal, C) & (
         vbit == 1
     )
-    # NERFACC_NEAR_BARRIER=1 stops XLA fusing the repeat INTO the gather
-    # (which turns cap_c chunk indices into capacity per-sample indices).
-    # MEASURED NEUTRAL on device (round-4 A/B: 44.69 vs 44.67 ms) despite
-    # the 4x index count — the fused gather's extra indices are apparently
-    # covered by the same transactions — so the default stays off.
-    near_c = jnp.take(near, r_c, indices_are_sorted=True)
-    if os.environ.get("NERFACC_NEAR_BARRIER", "0") == "1":
-        near_c = jax.lax.optimization_barrier(near_c)
+    if near_c is None:  # scatter path: re-derive near by chunk gather
+        # NERFACC_NEAR_BARRIER=1 stops XLA fusing the repeat INTO the
+        # gather (which turns cap_c chunk indices into capacity per-sample
+        # indices).  MEASURED NEUTRAL on device (round-4 A/B: 44.69 vs
+        # 44.67 ms) despite the 4x index count, so the default stays off.
+        near_c = jnp.take(near, r_c, indices_are_sorted=True)
+        if os.environ.get("NERFACC_NEAR_BARRIER", "0") == "1":
+            near_c = jax.lax.optimization_barrier(near_c)
     near_r = jnp.repeat(near_c, C)
     t_starts = _ladder_at(near_r, p, step_size, cone_angle)
     t_ends = _ladder_at(near_r, p + 1, step_size, cone_angle)

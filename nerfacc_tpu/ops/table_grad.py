@@ -69,9 +69,11 @@ def _window_candidates():
     levels vs a ~0.35 ms MXU share), so W trades accumulator-flush traffic
     (smaller W = more (W, 128) output tiles written) against worklist
     slots and one-hot matmul width — an empirical, device-measured knob.
+    Round-4 device sweep at the flagship config: W=256 wins (step 43.0 ms
+    vs 44.4 at 512 and 47.4 at 128), so 256 leads the candidates.
     """
     w = os.environ.get("NERFACC_TGRAD_W")
-    return (int(w),) if w else (512, 256, 128)
+    return (int(w),) if w else (256, 512, 128)
 
 
 def _worklist(
