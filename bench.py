@@ -134,10 +134,14 @@ def throughput_phase():
     )
     print(f"paired coarse levels: {paired}", flush=True)
 
-    # Array-path callbacks: measured FASTER than the SoA/chunked-gather
-    # variant (chunked_ray_components + tuple field inputs regressed the
-    # step 77->83 ms on v5e — the (n, 3) row gather fuses well in the P0
-    # graph, and the chunk broadcast breaks that fusion).
+    # BENCH_SOA=1 (default): ray components carried through the compaction
+    # sort feed the field as 1-D SoA arrays — no per-sample rays_o/rays_d
+    # gather, no (n, 3) intermediate.  (Round 2's SoA loser gathered per
+    # chunk and broadcast; the carry gets the components for free from the
+    # sort, the same physics as the near-plane carry.)  BENCH_SOA=0
+    # restores the array-path callbacks.
+    use_soa = os.environ.get("BENCH_SOA", "1") == "1" and not paired
+
     def make_fns(params):
         def sigma_fn(ts, te, ri):
             x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
@@ -150,12 +154,18 @@ def throughput_phase():
             rgb, sigma = field.apply(params, x, rays_d[ri], paired_levels=paired)
             return rgb, sigma[..., 0]
 
-        return sigma_fn, rgb_sigma_fn
+        def rgb_sigma_soa_fn(o, d, ts, te):
+            tm = (ts + te) * 0.5
+            xs = tuple(o[k] + tm * d[k] for k in range(3))
+            rgb, sigma = field.apply(params, xs, d)
+            return rgb, sigma[..., 0]
+
+        return sigma_fn, rgb_sigma_fn, (rgb_sigma_soa_fn if use_soa else None)
 
     @jax.jit
     def train_step(params, opt_state, key):
         def loss_fn(p):
-            sigma_fn, rgb_sigma_fn = make_fns(p)
+            sigma_fn, rgb_sigma_fn, soa_fn = make_fns(p)
             colors, _, _, n_samp, _ = occgrid_render_rays(
                 rgb_sigma_fn,
                 sigma_fn,
@@ -163,6 +173,7 @@ def throughput_phase():
                 occ_state,
                 rays_o,
                 rays_d,
+                rgb_sigma_soa_fn=soa_fn,
                 near_plane=0.0,
                 far_plane=1e10,
                 render_step_size=render_step_size,

@@ -371,6 +371,11 @@ class CompactSamples(NamedTuple):
     # (silent quality loss if ignored; the CUDA DDA never truncates,
     # grid.cu:184-272).  Always False when macro-skip is off.
     macro_truncated: Array  # (n_rays,) bool
+    # Per-sample ray origin/direction components carried through the
+    # compaction sort (``carry_rays=``): ((ox,oy,oz), (dx,dy,dz)) 1-D
+    # ``(capacity,)`` arrays, or None.  SoA by design — a ``(capacity, 3)``
+    # materialization would pay 42x lane padding on TPU.
+    ray_comps: Optional[Tuple] = None
 
 
 def traverse_and_compact(
@@ -395,6 +400,7 @@ def traverse_and_compact(
     packed_skip: Optional[Array] = None,
     pallas_interpret: bool = False,
     compact_chunk: int = 4,
+    carry_rays: bool = False,
 ) -> CompactSamples:
     """Fused traversal + global compaction (the training hot path).
 
@@ -603,10 +609,21 @@ def traverse_and_compact(
         # same carry-beats-gather physics as the factor-carry table
         # gradient.  The row is known pre-sort (rows_ch), so this is free
         # information the scatter path must re-derive with a gather.
-        nearb = jax.lax.bitcast_convert_type(
-            jnp.broadcast_to(near[:, None], (n_rays, nch)), jnp.int32
-        ).reshape(-1)
-        fill_near = jax.lax.bitcast_convert_type(near[-1], jnp.int32)
+        carry_cols = [near]
+        if carry_rays:
+            # Ray origin/direction components ride the same sort (6 more
+            # i32 operands on n_rays*nch elements) so the field never
+            # gathers rays_o/rays_d per sample downstream.
+            carry_cols += [rays_o[:, k] for k in range(3)]
+            carry_cols += [rays_d[:, k] for k in range(3)]
+        carried, fills = [], []
+        for col in carry_cols:
+            fills.append(jax.lax.bitcast_convert_type(col[-1], jnp.int32))
+            carried.append(
+                jax.lax.bitcast_convert_type(
+                    jnp.broadcast_to(col[:, None], (n_rays, nch)), jnp.int32
+                ).reshape(-1)
+            )
         if keys.shape[0] < cap_c:  # capacity exceeds the chunk count
             pad = cap_c - keys.shape[0]
             keys = jnp.concatenate(
@@ -615,19 +632,27 @@ def traverse_and_compact(
             vals = jnp.concatenate(
                 [vals, jnp.full((pad,), fill_packed, jnp.int32)]
             )
-            nearb = jnp.concatenate(
-                [nearb, jnp.full((pad,), fill_near, jnp.int32)]
-            )
-        _, packed_sorted, near_sorted = jax.lax.sort(
-            (keys, vals, nearb), num_keys=1
+            carried = [
+                jnp.concatenate([c, jnp.full((pad,), f, jnp.int32)])
+                for c, f in zip(carried, fills)
+            ]
+        sorted_ops = jax.lax.sort(
+            (keys, vals, *carried), num_keys=1
         )
+        packed_sorted = sorted_ops[1]
         live_c = jnp.arange(cap_c, dtype=jnp.int32) < ctotal
         inv = jnp.where(live_c, packed_sorted[:cap_c], fill_packed)
-        near_c = jax.lax.bitcast_convert_type(
-            jnp.where(live_c, near_sorted[:cap_c], fill_near), jnp.float32
-        )
+        carried_c = [
+            jax.lax.bitcast_convert_type(
+                jnp.where(live_c, s[:cap_c], f), jnp.float32
+            )
+            for s, f in zip(sorted_ops[2:], fills)
+        ]
+        near_c = carried_c[0]
+        rays_c = carried_c[1:] or None
     else:
         near_c = None
+        rays_c = None
         inv = (
             jnp.full((cap_c,), fill_packed, jnp.int32)
             .at[slot.reshape(-1)]
@@ -673,6 +698,10 @@ def traverse_and_compact(
     # overflowed the capacity are clamped — those samples were dropped).
     seg_lo_c = jnp.minimum(ccum0, cap_c)
     seg_hi_c = jnp.minimum(ccum0 + ccounts, cap_c)
+    ray_comps = None
+    if rays_c is not None:
+        comps = [jnp.repeat(c, C) for c in rays_c]
+        ray_comps = (tuple(comps[:3]), tuple(comps[3:]))
     return CompactSamples(
         ray_indices=r,
         t_starts=t_starts,
@@ -684,6 +713,7 @@ def traverse_and_compact(
         seg_starts=seg_lo_c * C,
         seg_counts=(seg_hi_c - seg_lo_c) * C,
         macro_truncated=macro_truncated,
+        ray_comps=ray_comps,
     )
 
 

@@ -102,6 +102,7 @@ def occgrid_render_rays(
     sample_capacity: Optional[int] = None,
     max_macro_segments: int = 24,
     refilter_capacity: Optional[int] = None,
+    rgb_sigma_soa_fn: Optional[Callable] = None,
 ) -> Tuple[Array, Array, Array, Array, dict]:
     """Render a ray batch with occupancy-grid skipping (jit-compatible).
 
@@ -150,7 +151,18 @@ def occgrid_render_rays(
         max_macro_segments=max_macro,
         packed_grids=state.binaries_packed,
         packed_skip=state.skip_packed if use_skip else None,
+        carry_rays=rgb_sigma_soa_fn is not None,
     )
+    if rgb_sigma_soa_fn is not None and cs.ray_comps is not None:
+        # SoA fast path: ray components were carried through the compaction
+        # sort (no per-sample rays_o/rays_d gather anywhere), and the field
+        # consumes 1-D component arrays end-to-end — no (n, 3) tensor (and
+        # its 42x TPU lane padding) is ever materialized.
+        o_comps, d_comps = cs.ray_comps
+
+        def rgb_sigma_fn(ts, te, ri):  # noqa: F811 — deliberate shadow
+            return rgb_sigma_soa_fn(o_comps, d_comps, ts, te)
+
     ray_indices = cs.ray_indices
     t_starts = cs.t_starts
     t_ends = cs.t_ends

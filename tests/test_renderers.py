@@ -272,3 +272,37 @@ def test_test_renderer_with_timestamps():
     np.testing.assert_allclose(
         np.asarray(rgb_test), np.asarray(rgb_train), atol=5e-2
     )
+
+
+def test_soa_carry_path_matches_array_path():
+    """The SoA fast path (ray components carried through the compaction
+    sort, field fed 1-D component arrays — rendering.py rgb_sigma_soa_fn)
+    must be sample-for-sample identical to the reference array-path
+    callbacks (capability anchor: same render as examples/utils.py:54-152).
+    """
+    estimator, state, rays_o, rays_d, sigma_at, rgb_at = _setup()
+
+    def rgb_sigma_fn(ts, te, ri):
+        x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+        return rgb_at(x), sigma_at(x)
+
+    def soa_fn(o, d, ts, te):
+        tm = (ts + te) * 0.5
+        x = jnp.stack([o[k] + tm * d[k] for k in range(3)], axis=-1)
+        return rgb_at(x), sigma_at(x)
+
+    kw = dict(
+        near_plane=0.0, far_plane=1e10, render_step_size=2e-2,
+        render_bkgd=jnp.ones(3), sample_capacity=64 * 64,
+        max_macro_segments=8,
+    )
+    c0, o0, d0, n0, _ = occgrid_render_rays(
+        rgb_sigma_fn, None, estimator, state, rays_o, rays_d, **kw
+    )
+    c1, o1, d1, n1, _ = occgrid_render_rays(
+        rgb_sigma_fn, None, estimator, state, rays_o, rays_d,
+        rgb_sigma_soa_fn=soa_fn, **kw
+    )
+    assert int(n0) == int(n1)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
