@@ -134,13 +134,14 @@ def throughput_phase():
     )
     print(f"paired coarse levels: {paired}", flush=True)
 
-    # BENCH_SOA=1 (default): ray components carried through the compaction
-    # sort feed the field as 1-D SoA arrays — no per-sample rays_o/rays_d
-    # gather, no (n, 3) intermediate.  (Round 2's SoA loser gathered per
-    # chunk and broadcast; the carry gets the components for free from the
-    # sort, the same physics as the near-plane carry.)  BENCH_SOA=0
-    # restores the array-path callbacks.
-    use_soa = os.environ.get("BENCH_SOA", "1") == "1" and not paired
+    # BENCH_SOA=1: ray components carried through the compaction sort feed
+    # the field as 1-D SoA arrays — no per-sample rays_o/rays_d gather, no
+    # (n, 3) intermediate.  MEASURED SLIGHTLY NEGATIVE on device (round-4
+    # A/B: step 40.17 vs 39.65 ms) — the 6 extra sort operands cost more
+    # than the well-fused 12 B-row gathers they replace — so the default
+    # stays the array path; the carry machinery remains for fields where
+    # the gathers do not fuse.
+    use_soa = os.environ.get("BENCH_SOA", "0") == "1" and not paired
 
     def make_fns(params):
         def sigma_fn(ts, te, ri):

@@ -585,6 +585,190 @@ def table_grad_factors_sorted(
     return out
 
 
+def _factor_kernel_u10(
+    wid_ref,
+    off_ref,
+    first_ref,
+    valid_ref,
+    idx_hbm,  # (n_pad/128, 128) i32 in ANY
+    wq_hbm,  # (n_pad/128, 128) i32 in ANY — [qx<<20 | qy<<10 | qz] u10x3
+    dout_hbm,  # (F, n_payload) dout rows, transposed, ANY
+    out_ref,  # (W, 128) f32 block
+    idx_vmem,  # scratch (CH/128, 128) i32
+    wq_vmem,  # scratch (CH/128, 128) i32
+    dout_vmem,  # scratch (F, CH)
+    sems,  # DMA semaphores (3,)
+    *,
+    W: int,
+    CH: int,
+    F: int,
+):
+    """wpack="u10" variant of :func:`_factor_kernel`: the three fractional
+    cell weights arrive QUANTIZED to 10-bit fixed point inside one int32
+    per sample (absolute error <= 2^-11 on [0,1] weights — below the bf16
+    payload's own rounding at these magnitudes), so the sort moves one
+    i32 weight operand instead of two, and this kernel dequantizes on the
+    VPU before the same two-matmul tile rebuild."""
+    s = pl.program_id(0)
+    off = pl.multiple_of(off_ref[s], CH)
+    row0 = pl.multiple_of(off // _LANE, CH // _LANE)
+
+    idx_dma = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(row0, CH // _LANE), :], idx_vmem, sems.at[0]
+    )
+    wq_dma = pltpu.make_async_copy(
+        wq_hbm.at[pl.ds(row0, CH // _LANE), :], wq_vmem, sems.at[1]
+    )
+    d_dma = pltpu.make_async_copy(
+        dout_hbm.at[:, pl.ds(off, CH)], dout_vmem, sems.at[2]
+    )
+    idx_dma.start()
+    wq_dma.start()
+    d_dma.start()
+    idx_dma.wait()
+    wq_dma.wait()
+    d_dma.wait()
+
+    dt = dout_vmem.dtype
+    subE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
+    lanE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
+    Et = (subE // F == lanE).astype(dt)  # (128, 8)
+    subT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 0)
+    lanT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 1)
+    Tt = (subT % F == lanT).astype(dt)  # (128, F)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
+    w0 = wid_ref[s] * W
+    w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
+    inv = jnp.float32(1.0 / 1023.0)
+    mm = jnp.zeros((W, _LANE), jnp.float32)
+    for k in range(CH // _LANE):
+        sl = slice(k * _LANE, (k + 1) * _LANE)
+        wq = wq_vmem[k, :]  # (128,) i32 lanes
+        wx = ((wq >> 20) & 1023).astype(jnp.float32)[None, :] * inv
+        wy = ((wq >> 10) & 1023).astype(jnp.float32)[None, :] * inv
+        wz = (wq & 1023).astype(jnp.float32)[None, :] * inv
+        W8 = jnp.concatenate(
+            [
+                ((wx if dx else 1.0 - wx)
+                 * (wy if dy else 1.0 - wy)
+                 * (wz if dz else 1.0 - wz))
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=0,
+        ).astype(dt)  # (8, 128)
+        we = jax.lax.dot_general(
+            Et, W8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de = jax.lax.dot_general(
+            Tt, dout_vmem[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dgT = (we * de).astype(dt)  # (128, 128) cotangent tile, transposed
+        rel = idx_vmem[k, :] - w0
+        oh = (rel[None, :] == rows).astype(dt)
+        mm = mm + jax.lax.dot_general(
+            oh, dgT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[:] = mm
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + mm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "F", "W", "CH", "interpret"),
+)
+def table_grad_factors_sorted_u10(
+    sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
+    wq_sorted: Array,  # (N,) i32, u10x3-packed fractional weights
+    dout_sorted_t: Array,  # (F, N) dout rows, transposed
+    *,
+    n_rows: int,
+    F: int = 16,
+    W: int = 512,
+    CH: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """u10-packed flavor of :func:`table_grad_factors_sorted` (one int32
+    weight operand through the sort instead of two bf16-pair columns)."""
+    assert 8 * F == _LANE
+    assert n_rows % W == 0 and CH % _LANE == 0
+    assert dout_sorted_t.shape[0] == F
+    n = sorted_idx.shape[0]
+    n_pad = -(-(n + CH) // CH) * CH
+    sorted_idx = jnp.concatenate(
+        [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
+    )
+    wq_sorted = jnp.concatenate(
+        [wq_sorted, jnp.zeros((n_pad - n,), jnp.int32)]
+    )
+    if n % CH:
+        dout_sorted_t = jnp.concatenate(
+            [
+                dout_sorted_t,
+                jnp.zeros((F, n_pad - n), dout_sorted_t.dtype),
+            ],
+            axis=1,
+        )
+
+    NW = n_rows // W
+    n_slots = 2 * NW + n_pad // CH
+    wid, off, first, valid = _worklist(
+        sorted_idx, n_rows, W, CH, n_slots, dout_sorted_t.shape[1]
+    )
+
+    kernel = functools.partial(_factor_kernel_u10, W=W, CH=CH, F=F)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (W, _LANE), lambda s, wid, off, first, valid: (wid[s], 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((F, CH), dout_sorted_t.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * CH * (W + 24) * _LANE,
+            bytes_accessed=n_pad
+            * (8 + F * dout_sorted_t.dtype.itemsize)
+            + n_rows * _LANE * 4,
+            transcendentals=0,
+        ),
+    )(
+        wid, off, first, valid,
+        sorted_idx.reshape(-1, _LANE),
+        wq_sorted.reshape(-1, _LANE),
+        dout_sorted_t,
+    )
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def _sized_lookup_combine(
     n_rows: int,
@@ -839,6 +1023,71 @@ def _sized_lookup_combine3(
         nlv = n_levels if level_span else 1
         spn = level_span or n_rows
         m = idx.shape[0] // nlv
+
+        def _assemble(parts):
+            block = (
+                parts[0]
+                if len(parts) == 1
+                else jnp.concatenate(parts, axis=0)
+            )
+            lo = level_base * spn if level_span else 0
+            hi = lo + nlv * spn
+            if lo == 0 and hi == n_rows:
+                dtable = block
+            else:
+                dtable = jnp.concatenate(
+                    [
+                        jnp.zeros((lo, _LANE), jnp.float32),
+                        block,
+                        jnp.zeros((n_rows - hi, _LANE), jnp.float32),
+                    ],
+                    axis=0,
+                )
+            return (
+                dtable,
+                None,
+                jnp.zeros_like(wx),
+                jnp.zeros_like(wy),
+                jnp.zeros_like(wz),
+            )
+
+        if os.environ.get("NERFACC_FACTOR_PACK", "w3") == "u10":
+            # u10 movement: quantize (wx,wy,wz) to 10-bit fixed point in
+            # ONE int32 (error <= 2^-11, below the bf16 payload's own
+            # rounding) — the per-level sort then moves 10 operands
+            # (key + wq + F/2 dout pairs) instead of w3's 11, and the
+            # weight column skips the bf16 unpack transpose entirely.
+            wq = (
+                (jnp.round(wx * 1023.0).astype(jnp.int32) << 20)
+                | (jnp.round(wy * 1023.0).astype(jnp.int32) << 10)
+                | jnp.round(wz * 1023.0).astype(jnp.int32)
+            )
+            dcols = jax.lax.bitcast_convert_type(
+                dout.astype(jnp.bfloat16).reshape(idx.shape[0], F // 2, 2),
+                jnp.int32,
+            )  # (N, F/2)
+            parts = []
+            for j in range(nlv):
+                base = (level_base + j) * spn if level_span else 0
+                sl = slice(j * m, (j + 1) * m)
+                sorted_ops = jax.lax.sort(
+                    (idx[sl] - base, wq[sl])
+                    + tuple(dcols[sl, c] for c in range(F // 2)),
+                    num_keys=1,
+                )
+                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, m) i32
+                dout_t = (
+                    jax.lax.bitcast_convert_type(dt_s, jnp.bfloat16)
+                    .transpose(0, 2, 1)
+                    .reshape(F, m)
+                )
+                parts.append(
+                    table_grad_factors_sorted_u10(
+                        sorted_ops[0], sorted_ops[1], dout_t,
+                        n_rows=spn, F=F, W=W, interpret=interpret,
+                    )
+                )
+            return _assemble(parts)
         packed = jnp.concatenate(
             [
                 wx[:, None].astype(fdt),
@@ -895,29 +1144,7 @@ def _sized_lookup_combine3(
                     interpret=interpret, wpack="w3",
                 )
             )
-        block = (
-            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        )
-        lo = level_base * spn if level_span else 0
-        hi = lo + nlv * spn
-        if lo == 0 and hi == n_rows:
-            dtable = block
-        else:
-            dtable = jnp.concatenate(
-                [
-                    jnp.zeros((lo, _LANE), jnp.float32),
-                    block,
-                    jnp.zeros((n_rows - hi, _LANE), jnp.float32),
-                ],
-                axis=0,
-            )
-        return (
-            dtable,
-            None,
-            jnp.zeros_like(wx),
-            jnp.zeros_like(wy),
-            jnp.zeros_like(wz),
-        )
+        return _assemble(parts)
 
     lookup_combine.defvjp(fwd, bwd)
     return lookup_combine

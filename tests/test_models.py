@@ -640,3 +640,36 @@ def test_fused_factor_w3_pack_matches_w8(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(g3), np.asarray(g8), atol=2e-2 * denom
             )
+
+
+def test_fused_factor_u10_pack_matches_w3(monkeypatch):
+    """NERFACC_FACTOR_PACK=u10 (10-bit fixed-point weights, one int32 sort
+    operand) must match the w3 gradients within the quantization bound:
+    per-axis weight error <= 2^-11, so corner-product error <~ 1.5e-3 of
+    the cotangent scale."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=256)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((1021, 3), dtype=np.float32))
+    ct = jnp.asarray(rng.standard_normal((1021, 64)).astype(np.float32))
+
+    def loss(p, enc):
+        return (enc.apply(p, x) * ct).sum()
+
+    enc = HashGridEncoderFused(**kw, table_grad="factor",
+                               compute_dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x[:8])
+    monkeypatch.setenv("NERFACC_FACTOR_PACK", "w3")
+    jax.clear_caches()
+    g3 = jax.grad(loss)(params, enc)["params"]["table"]
+    monkeypatch.setenv("NERFACC_FACTOR_PACK", "u10")
+    jax.clear_caches()
+    gu = jax.grad(loss)(params, enc)["params"]["table"]
+    monkeypatch.delenv("NERFACC_FACTOR_PACK")
+    jax.clear_caches()
+    denom = np.abs(np.asarray(g3)).max()
+    np.testing.assert_allclose(
+        np.asarray(gu), np.asarray(g3), atol=2e-2 * denom
+    )
