@@ -385,7 +385,7 @@ class HashGridEncoderFused(nn.Module):
                 # weights through the backward's sort (11 int32 operands vs
                 # 17) and rebuilds the 8 corner weights in-kernel — sort
                 # cost is ~linear in operand count (round-4 trace).
-                if os.environ.get("NERFACC_FACTOR_PACK", "w3") in (
+                if os.environ.get("NERFACC_FACTOR_PACK", "u10") in (
                     "w3", "u10",
                 ):
                     from ..ops.table_grad import hash_lookup_combine3

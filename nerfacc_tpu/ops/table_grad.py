@@ -1051,7 +1051,7 @@ def _sized_lookup_combine3(
                 jnp.zeros_like(wz),
             )
 
-        if os.environ.get("NERFACC_FACTOR_PACK", "w3") == "u10":
+        if os.environ.get("NERFACC_FACTOR_PACK", "u10") == "u10":
             # u10 movement: quantize (wx,wy,wz) to 10-bit fixed point in
             # ONE int32 (error <= 2^-11, below the bf16 payload's own
             # rounding) — the per-level sort then moves 10 operands

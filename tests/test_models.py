@@ -502,12 +502,17 @@ def test_fused_pallas_grad_with_paired_levels():
     )
 
 
-def test_fused_factor_table_grad_matches_scatter():
+def test_fused_factor_table_grad_matches_scatter(monkeypatch):
     """The round-3 factor-path table gradient (table_grad="factor": backward
     consumes (w, dout) factors, rebuilds cotangent tiles in-kernel) must
     reproduce autodiff's scatter-add table gradient; forward bit-exact;
-    w/position gradient is zero BY CONTRACT."""
+    w/position gradient is zero BY CONTRACT.  Pinned to the exact w3 pack —
+    the default u10 pack quantizes weights to 10 bits by design and has its
+    own bound test (test_fused_factor_u10_pack_matches_w3)."""
     from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    monkeypatch.setenv("NERFACC_FACTOR_PACK", "w3")
+    jax.clear_caches()
 
     kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
               max_resolution=256)
