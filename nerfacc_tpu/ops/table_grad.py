@@ -1176,3 +1176,157 @@ def hash_lookup_combine3(
         int(table.shape[0]), int(F), name, interpret, int(level_span),
         int(n_levels), int(level_base),
     )(table, idx, wx, wy, wz)
+
+
+def _cell_place_kernel(
+    wid_ref,
+    off_ref,
+    first_ref,
+    valid_ref,
+    idx_hbm,  # (n_pad/128, 128) i32 in ANY
+    val_hbm,  # (n_pad/128, 128) f32 in ANY
+    out_ref,  # (WR, 128) f32 block
+    idx_vmem,  # scratch (CH/128, 128) i32
+    val_vmem,  # scratch (CH/128, 128) f32
+    sems,  # DMA semaphores (2,)
+    *,
+    WC: int,  # cells per window (WC == WR * 128)
+    CH: int,
+):
+    """Scalar cell placement: out[id >> 7, id & 127] += val, for sorted ids.
+
+    The occupancy-update EMA needs a segment reduction into a FLAT cell
+    table (2M scalar cells), not a (rows, 128) feature table — cells map to
+    (sublane, lane) = (id // 128, id % 128) of the output block.  Each
+    128-sample lane tile builds a (WR, 128-sample) row one-hot and a
+    (128-sample, 128-lane) lane one-hot and reduces them with one MXU
+    contraction; unique ids upstream (run-end dedup) make sum == place.
+    """
+    s = pl.program_id(0)
+    off = pl.multiple_of(off_ref[s], CH)
+    row0 = pl.multiple_of(off // _LANE, CH // _LANE)
+
+    idx_dma = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(row0, CH // _LANE), :], idx_vmem, sems.at[0]
+    )
+    val_dma = pltpu.make_async_copy(
+        val_hbm.at[pl.ds(row0, CH // _LANE), :], val_vmem, sems.at[1]
+    )
+    idx_dma.start()
+    val_dma.start()
+    idx_dma.wait()
+    val_dma.wait()
+
+    WR = WC // _LANE
+    rows = jax.lax.broadcasted_iota(jnp.int32, (WR, _LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    c0 = wid_ref[s] * WC
+    c0 = jnp.where(valid_ref[s] == 1, c0, -(WC + 1) * _LANE)
+    mm = jnp.zeros((WR, _LANE), jnp.float32)
+    for k in range(CH // _LANE):
+        ids = idx_vmem[k, :] - c0  # (128,) relative cell ids
+        rel_row = ids // _LANE
+        rel_lane = ids % _LANE
+        oh_r = (rel_row[None, :] == rows).astype(jnp.float32)  # (WR, 128s)
+        # (128s, 128l) value placement; out-of-window rows already mask
+        # via oh_r (rel_row outside [0, WR)).
+        pl_l = (rel_lane[:, None] == lanes).astype(jnp.float32)
+        pl_l = pl_l * val_vmem[k, :][:, None]
+        mm = mm + jax.lax.dot_general(
+            oh_r, pl_l,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[:] = mm
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + mm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cells", "WC", "CH", "interpret")
+)
+def cell_max_sorted(
+    ids: Array,  # (N,) i32 cell ids in [0, n_cells), any order
+    vals: Array,  # (N,) f32, NON-NEGATIVE
+    *,
+    n_cells: int,
+    WC: int = 32768,
+    CH: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Per-cell max of ``vals`` grouped by ``ids``, returned as a flat
+    ``(n_cells,)`` f32 array with ``-1.0`` for untouched cells — the exact
+    contract of ``full(-1).at[ids].max(vals)`` (occ_grid.py EMA), built
+    sort-first for TPU: sort 2 operands, segmented running max
+    (associative_scan), place ``segmax + 1`` at run ends (unique ids), and
+    reduce with the windowed one-hot MXU kernel; ``sum - 1`` restores the
+    -1-fill semantics because every group contributes exactly one nonzero
+    (>= 1) term.
+    """
+    assert n_cells % WC == 0 and WC % _LANE == 0
+    n = ids.shape[0]
+    sidx, svals = jax.lax.sort_key_val(ids, vals)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
+    )
+
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, jnp.maximum(av, bv))
+
+    _, runmax = jax.lax.associative_scan(comb, (first, svals))
+    run_end = jnp.concatenate(
+        [sidx[1:] != sidx[:-1], jnp.ones((1,), bool)]
+    )
+    placed = jnp.where(run_end, runmax + 1.0, 0.0)
+
+    n_pad = -(-(n + CH) // CH) * CH
+    sidx_p = jnp.concatenate(
+        [sidx, jnp.full((n_pad - n,), n_cells, jnp.int32)]
+    )
+    placed_p = jnp.concatenate([placed, jnp.zeros((n_pad - n,), jnp.float32)])
+
+    NW = n_cells // WC
+    n_slots = 2 * NW + n_pad // CH
+    wid, off, first_s, valid = _worklist(
+        sidx_p, n_cells, WC, CH, n_slots, n_pad
+    )
+    kernel = functools.partial(_cell_place_kernel, WC=WC, CH=CH)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (WC // _LANE, _LANE),
+                lambda s, wid, off, first, valid: (wid[s], 0),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_cells // _LANE, _LANE), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * CH * (WC // _LANE + _LANE),
+            bytes_accessed=n_pad * 8 + n_cells * 4,
+            transcendentals=0,
+        ),
+    )(
+        wid, off, first_s, valid,
+        sidx_p.reshape(-1, _LANE),
+        placed_p.reshape(-1, _LANE),
+    )
+    return out.reshape(-1) - 1.0
