@@ -509,7 +509,7 @@ class OccGridEstimator(AbstractEstimator):
             # wins.
             n_total = int(occs.shape[0])
             if (
-                os.environ.get("NERFACC_OCC_EMA", "scatter") == "sortmax"
+                os.environ.get("NERFACC_OCC_EMA", "sortmax") == "sortmax"
                 and n_total % 32768 == 0
             ):
                 from ..ops.table_grad import cell_max_sorted, on_tpu
