@@ -592,11 +592,11 @@ def _factor_kernel_u10(
     valid_ref,
     idx_hbm,  # (n_pad/128, 128) i32 in ANY
     wq_hbm,  # (n_pad/128, 128) i32 in ANY — [qx<<20 | qy<<10 | qz] u10x3
-    dout_hbm,  # (F/2, n_payload) i32 — bf16 feature PAIRS, raw sort output
+    dout_hbm,  # (F, n_payload) dout rows, transposed, ANY
     out_ref,  # (W, 128) f32 block
     idx_vmem,  # scratch (CH/128, 128) i32
     wq_vmem,  # scratch (CH/128, 128) i32
-    dout_vmem,  # scratch (F/2, CH) i32
+    dout_vmem,  # scratch (F, CH)
     sems,  # DMA semaphores (3,)
     *,
     W: int,
@@ -608,14 +608,7 @@ def _factor_kernel_u10(
     per sample (absolute error <= 2^-11 on [0,1] weights — below the bf16
     payload's own rounding at these magnitudes), so the sort moves one
     i32 weight operand instead of two, and this kernel dequantizes on the
-    VPU before the same two-matmul tile rebuild.
-
-    The dout payload arrives as the sort's RAW int32 columns — each lane
-    holds two bf16 features (2c low half, 2c+1 high) — and is
-    de-interleaved HERE with integer ops (``x << 16`` / ``x & 0xffff0000``
-    bitcast to f32 reproduces each bf16 exactly), so the host graph never
-    materializes the (F/2, N, 2) unpack whose 2-minor layout pays 64x tile
-    padding (round-4 trace: copy.216 1.58 ms + reshape 1.0 ms)."""
+    VPU before the same two-matmul tile rebuild."""
     s = pl.program_id(0)
     off = pl.multiple_of(off_ref[s], CH)
     row0 = pl.multiple_of(off // _LANE, CH // _LANE)
@@ -636,15 +629,13 @@ def _factor_kernel_u10(
     wq_dma.wait()
     d_dma.wait()
 
-    dt = jnp.bfloat16
-    F2 = F // 2
+    dt = dout_vmem.dtype
     subE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 0)
     lanE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8), 1)
     Et = (subE // F == lanE).astype(dt)  # (128, 8)
-    subT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F2), 0)
-    lanT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F2), 1)
-    Tt_e = (subT % F == 2 * lanT).astype(dt)  # (128, F/2) even features
-    Tt_o = (subT % F == 2 * lanT + 1).astype(dt)  # (128, F/2) odd features
+    subT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 0)
+    lanT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, F), 1)
+    Tt = (subT % F == lanT).astype(dt)  # (128, F)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
     w0 = wid_ref[s] * W
@@ -673,20 +664,8 @@ def _factor_kernel_u10(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = dout_vmem[:, sl]  # (F/2, 128) i32 bf16-pairs
-        # bf16 bits b <-> f32 bits (b << 16): exact per-half extraction.
-        lo = jax.lax.bitcast_convert_type(
-            dp << 16, jnp.float32
-        ).astype(dt)  # even features 2c
-        hi = jax.lax.bitcast_convert_type(
-            dp & jnp.int32(-65536), jnp.float32
-        ).astype(dt)  # odd features 2c+1
         de = jax.lax.dot_general(
-            Tt_e, lo,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            Tt_o, hi,
+            Tt, dout_vmem[:, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -715,7 +694,7 @@ def _factor_kernel_u10(
 def table_grad_factors_sorted_u10(
     sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
     wq_sorted: Array,  # (N,) i32, u10x3-packed fractional weights
-    dout_sorted_t: Array,  # (F/2, N) i32 bf16-pair rows (raw sort columns)
+    dout_sorted_t: Array,  # (F, N) dout rows, transposed
     *,
     n_rows: int,
     F: int = 16,
@@ -724,13 +703,10 @@ def table_grad_factors_sorted_u10(
     interpret: bool = False,
 ) -> Array:
     """u10-packed flavor of :func:`table_grad_factors_sorted` (one int32
-    weight operand through the sort instead of two bf16-pair columns; dout
-    consumed as the sort's raw int32 pair columns, de-interleaved
-    in-kernel)."""
-    assert 8 * F == _LANE and F % 2 == 0
+    weight operand through the sort instead of two bf16-pair columns)."""
+    assert 8 * F == _LANE
     assert n_rows % W == 0 and CH % _LANE == 0
-    assert dout_sorted_t.shape[0] == F // 2
-    assert dout_sorted_t.dtype == jnp.int32
+    assert dout_sorted_t.shape[0] == F
     n = sorted_idx.shape[0]
     n_pad = -(-(n + CH) // CH) * CH
     sorted_idx = jnp.concatenate(
@@ -743,7 +719,7 @@ def table_grad_factors_sorted_u10(
         dout_sorted_t = jnp.concatenate(
             [
                 dout_sorted_t,
-                jnp.zeros((F // 2, n_pad - n), jnp.int32),
+                jnp.zeros((F, n_pad - n), dout_sorted_t.dtype),
             ],
             axis=1,
         )
@@ -771,7 +747,7 @@ def table_grad_factors_sorted_u10(
             scratch_shapes=[
                 pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
                 pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
-                pltpu.VMEM((F // 2, CH), jnp.int32),
+                pltpu.VMEM((F, CH), dout_sorted_t.dtype),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
@@ -1102,14 +1078,22 @@ def _sized_lookup_combine3(
                     + tuple(dcols[sl, c] for c in range(F // 2)),
                     num_keys=1,
                 )
-                # Raw sorted pair columns go straight to the kernel — the
-                # bf16 de-interleave happens in VMEM (a host-graph unpack
-                # materializes a 2-minor tensor at 64x tile padding:
-                # copy.216 + reshape, 2.6 ms in the round-4 u10 trace).
+                # MEASURED NEGATIVE (round-4 device A/B, 40.9 vs 38.86
+                # ms step): consuming the raw i32 pair columns and
+                # de-interleaving in-kernel (x<<16 / x&0xffff0000 bitcast,
+                # even/odd placement matmuls) cost MORE than this host
+                # unpack despite its 2-minor-layout padding — the kernel's
+                # per-tile critical path grew by more than the 2.6 ms of
+                # copies it saved.  Keep the host unpack.
                 dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, m) i32
+                dout_t = (
+                    jax.lax.bitcast_convert_type(dt_s, jnp.bfloat16)
+                    .transpose(0, 2, 1)
+                    .reshape(F, m)
+                )
                 parts.append(
                     table_grad_factors_sorted_u10(
-                        sorted_ops[0], sorted_ops[1], dt_s,
+                        sorted_ops[0], sorted_ops[1], dout_t,
                         n_rows=spn, F=F, W=W, interpret=interpret,
                     )
                 )
