@@ -1242,10 +1242,16 @@ def _cell_place_kernel(
         # via oh_r (rel_row outside [0, WR)).
         pl_l = (rel_lane[:, None] == lanes).astype(jnp.float32)
         pl_l = pl_l * val_vmem[k, :][:, None]
+        # HIGHEST precision is load-bearing: at DEFAULT the MXU downcasts
+        # the f32 operands to bf16, quantizing the biased values (val + 1)
+        # to 2^-8 relative steps — which annihilates occupancy values of
+        # ~1e-3 entirely and silently EMPTIES the grid (the round-4
+        # quality collapse to a constant 13.23 dB).
         mm = mm + jax.lax.dot_general(
             oh_r, pl_l,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     @pl.when(first_ref[s] == 1)
