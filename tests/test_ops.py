@@ -252,3 +252,28 @@ def test_sort_compaction_matches_scatter(monkeypatch):
         )
         for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_cell_max_sorted_occ_scale_values():
+    """The sortmax EMA must be exact for occupancy-scale values (~1e-3).
+
+    Round-4 device lesson: a Pallas ``dot_general`` with f32 operands at
+    DEFAULT precision downcasts to bf16 on the MXU; with the kernel's +1
+    placement bias that quantized tiny occ values to zero, silently
+    emptying the occupancy grid (constant-PSNR training collapse).  The
+    kernel pins ``precision=HIGHEST``; this test guards the tiny-value
+    contract end-to-end.
+    """
+    import numpy as np
+
+    from nerfacc_tpu.ops.table_grad import cell_max_sorted
+
+    rng = np.random.default_rng(3)
+    n_cells = 1 << 15
+    ids = jnp.asarray(rng.integers(0, n_cells, 50000).astype(np.int32))
+    vals = jnp.asarray(rng.random(50000, dtype=np.float32) * 4e-3)
+    want = np.asarray(jnp.full((n_cells,), -1.0).at[ids].max(vals))
+    got = np.asarray(
+        cell_max_sorted(ids, vals, n_cells=n_cells, WC=4096, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
