@@ -504,12 +504,15 @@ class OccGridEstimator(AbstractEstimator):
             # so one pass serves both roles.  NERFACC_OCC_EMA=sortmax
             # replaces the XLA scatter-max (7.0 ms at 1M indices, round-4
             # occ trace) with sort + segmented-max + the windowed one-hot
-            # MXU placement kernel (ops/table_grad.cell_max_sorted) — the
-            # same sort-first physics as the compaction and table-gradient
-            # wins.
+            # MXU placement kernel (ops/table_grad.cell_max_sorted).
+            # MEASURED MIXED on device: -1.4 ms at the bench scale
+            # (res-128 grid, 1M draws) but ~+0.6 s per update at the
+            # quality scale (res-64, 131k draws — t_400 40.6 vs 25.4 s),
+            # so the scatter stays the default and sortmax is an opt-in
+            # for large grids.
             n_total = int(occs.shape[0])
             if (
-                os.environ.get("NERFACC_OCC_EMA", "sortmax") == "sortmax"
+                os.environ.get("NERFACC_OCC_EMA", "scatter") == "sortmax"
                 and n_total % 32768 == 0
             ):
                 from ..ops.table_grad import cell_max_sorted, on_tpu
