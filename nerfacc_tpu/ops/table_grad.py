@@ -62,6 +62,39 @@ def on_tpu() -> bool:
         return False
 
 
+def _unpack_bf16_pairs_t(cols_i32: Array, n_rows_out: int) -> Array:
+    """(C, n) i32 pair columns -> (2C, n) bf16 rows (row 2c = low half of
+    column c, row 2c+1 = high half — the layout the factor kernels DMA).
+
+    Two variants (NERFACC_DOUT_UNPACK):
+      "t3"    — bitcast to (C, n, 2) bf16 + transpose(0,2,1) + reshape.
+                The transpose moves a minor-2 axis, which XLA lowers as a
+                real relayout copy (copy.216, 1.59 ms at 2M x 16 on v5e).
+      "lanes" — per-column elementwise shift/mask unpack into 1-D bf16
+                lane vectors, then one contiguous stack: no minor-2
+                tensor is ever materialized, so no relayout copy.
+    """
+    C, n = cols_i32.shape
+    assert n_rows_out == 2 * C
+    if os.environ.get("NERFACC_DOUT_UNPACK", "t3") == "lanes":
+        rows = []
+        for c in range(C):
+            x = cols_i32[c]
+            lo = jax.lax.bitcast_convert_type(
+                (x & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            )
+            hi = jax.lax.bitcast_convert_type(
+                ((x >> 16) & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            )
+            rows.extend([lo, hi])
+        return jnp.stack(rows, axis=0)
+    return (
+        jax.lax.bitcast_convert_type(cols_i32, jnp.bfloat16)
+        .transpose(0, 2, 1)
+        .reshape(n_rows_out, n)
+    )
+
+
 def _window_candidates():
     """Window sizes tried largest-first; NERFACC_TGRAD_W pins one.
 
@@ -862,13 +895,8 @@ def _sized_lookup_combine(
                 sidx = sorted_ops[0]
                 sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
                 if fdt == jnp.bfloat16:
-                    # (16, m) i32 -> (16, m, 2) bf16 [c, j, p] = row 2c+p of
-                    # the transposed factors -> (16, 2, m) -> (32, m).
-                    pfs = (
-                        jax.lax.bitcast_convert_type(sc, jnp.bfloat16)
-                        .transpose(0, 2, 1)
-                        .reshape(32, m)
-                    )
+                    # (16, m) i32 pair columns -> (32, m) bf16 rows.
+                    pfs = _unpack_bf16_pairs_t(sc, 32)
                 else:
                     pfs = jax.lax.bitcast_convert_type(sc, jnp.float32)
             else:
@@ -1060,15 +1088,44 @@ def _sized_lookup_combine3(
             # rounding) — the per-level sort then moves 10 operands
             # (key + wq + F/2 dout pairs) instead of w3's 11, and the
             # weight column skips the bf16 unpack transpose entirely.
-            wq = (
-                (jnp.round(wx * 1023.0).astype(jnp.int32) << 20)
-                | (jnp.round(wy * 1023.0).astype(jnp.int32) << 10)
-                | jnp.round(wz * 1023.0).astype(jnp.int32)
-            )
+            # Clamp before packing: a weight nudged outside [0, 1] by float
+            # error upstream would otherwise bleed sign/overflow bits into
+            # the adjacent 10-bit fields, corrupting all three dequantized
+            # weights for that sample (cheap VPU ops, no measurable cost).
+            def q10(w):
+                return jnp.clip(
+                    jnp.round(w * 1023.0), 0.0, 1023.0
+                ).astype(jnp.int32)
+
+            wq = (q10(wx) << 20) | (q10(wy) << 10) | q10(wz)
             dcols = jax.lax.bitcast_convert_type(
                 dout.astype(jnp.bfloat16).reshape(idx.shape[0], F // 2, 2),
                 jnp.int32,
             )  # (N, F/2)
+            # NERFACC_FACTOR_BATCH=1: ONE sort + ONE kernel across all
+            # levels instead of nlv separate ones.  The keys are already
+            # globally unique (each level's ids live in its own
+            # [j*spn, (j+1)*spn) span), so batching only re-bases them to
+            # the block start.  Sort cost on v5e is ~0.85 ms base +
+            # ~0.19 ms/operand per 512k elements — one 4x-longer sort
+            # saves 3 sort bases plus 3 kernel/worklist fixed costs
+            # (round-4 trace: 4 x 2.06 ms sorts + 4 x 1.24-1.50 ms
+            # kernels were the top step cost).
+            if os.environ.get("NERFACC_FACTOR_BATCH", "0") == "1" and nlv > 1:
+                base0 = level_base * spn if level_span else 0
+                sorted_ops = jax.lax.sort(
+                    (idx - base0, wq)
+                    + tuple(dcols[:, c] for c in range(F // 2)),
+                    num_keys=1,
+                )
+                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, N) i32
+                dout_t = _unpack_bf16_pairs_t(dt_s, F)
+                return _assemble([
+                    table_grad_factors_sorted_u10(
+                        sorted_ops[0], sorted_ops[1], dout_t,
+                        n_rows=nlv * spn, F=F, W=W, interpret=interpret,
+                    )
+                ])
             parts = []
             for j in range(nlv):
                 base = (level_base + j) * spn if level_span else 0
@@ -1086,11 +1143,7 @@ def _sized_lookup_combine3(
                 # per-tile critical path grew by more than the 2.6 ms of
                 # copies it saved.  Keep the host unpack.
                 dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, m) i32
-                dout_t = (
-                    jax.lax.bitcast_convert_type(dt_s, jnp.bfloat16)
-                    .transpose(0, 2, 1)
-                    .reshape(F, m)
-                )
+                dout_t = _unpack_bf16_pairs_t(dt_s, F)
                 parts.append(
                     table_grad_factors_sorted_u10(
                         sorted_ops[0], sorted_ops[1], dout_t,
@@ -1129,11 +1182,7 @@ def _sized_lookup_combine3(
                 sidx = sorted_ops[0]
                 sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
                 if fdt == jnp.bfloat16:
-                    pfs = (
-                        jax.lax.bitcast_convert_type(sc, jnp.bfloat16)
-                        .transpose(0, 2, 1)
-                        .reshape(NC, m)
-                    )
+                    pfs = _unpack_bf16_pairs_t(sc, NC)
                 else:
                     pfs = jax.lax.bitcast_convert_type(sc, jnp.float32)
             else:

@@ -153,15 +153,15 @@ def occgrid_render_rays(
         packed_skip=state.skip_packed if use_skip else None,
         carry_rays=rgb_sigma_soa_fn is not None,
     )
+    soa_comps = None
     if rgb_sigma_soa_fn is not None and cs.ray_comps is not None:
         # SoA fast path: ray components were carried through the compaction
         # sort (no per-sample rays_o/rays_d gather anywhere), and the field
         # consumes 1-D component arrays end-to-end — no (n, 3) tensor (and
-        # its 42x TPU lane padding) is ever materialized.
-        o_comps, d_comps = cs.ray_comps
-
-        def rgb_sigma_fn(ts, te, ri):  # noqa: F811 — deliberate shadow
-            return rgb_sigma_soa_fn(o_comps, d_comps, ts, te)
+        # its 42x TPU lane padding) is ever materialized.  The callback is
+        # bound AFTER the optional refilter below so the carried components
+        # stay aligned with any re-permuted sample layout.
+        soa_comps = cs.ray_comps
 
     ray_indices = cs.ray_indices
     t_starts = cs.t_starts
@@ -216,11 +216,25 @@ def occgrid_render_rays(
             ray_indices = jnp.take(ray_indices, src)
             t_starts = jnp.take(t_starts, src)
             t_ends = jnp.take(t_ends, src)
+            if soa_comps is not None:
+                # Keep the carried SoA ray components aligned with the
+                # re-permuted sample layout (same source map).
+                o_c, d_c = soa_comps
+                soa_comps = (
+                    tuple(jnp.take(c, src) for c in o_c),
+                    tuple(jnp.take(c, src) for c in d_c),
+                )
             kept = jnp.arange(refilter_capacity, dtype=jnp.int32) < total2
             t_ends = jnp.where(kept, t_ends, t_starts)
             # Re-compacted layout: per-ray slot ranges shifted; the padding
             # tail also decodes to ray 0 here, breaking sortedness.
             seg_bounds = None
+
+    if soa_comps is not None:
+        o_comps, d_comps = soa_comps
+
+        def rgb_sigma_fn(ts, te, ri):  # noqa: F811 — deliberate shadow
+            return rgb_sigma_soa_fn(o_comps, d_comps, ts, te)
 
     # 4. Differentiable rendering on the compacted flat layout.
     colors, opacities, depths, extras = rendering(

@@ -678,3 +678,69 @@ def test_fused_factor_u10_pack_matches_w3(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gu), np.asarray(g3), atol=2e-2 * denom
     )
+
+
+def test_fused_factor_batched_sort_matches_per_level(monkeypatch):
+    """NERFACC_FACTOR_BATCH=1 (ONE cross-level sort + ONE kernel over the
+    whole table instead of per-level ones) must reproduce the per-level
+    u10 gradients bit-exactly: the keys are globally unique per level span,
+    so batching only changes the partitioning of identical work."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=256)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((1021, 3), dtype=np.float32))
+    ct = jnp.asarray(rng.standard_normal((1021, 64)).astype(np.float32))
+
+    def loss(p, enc):
+        return (enc.apply(p, x) * ct).sum()
+
+    enc = HashGridEncoderFused(**kw, table_grad="factor",
+                               compute_dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x[:8])
+    monkeypatch.setenv("NERFACC_FACTOR_PACK", "u10")
+    monkeypatch.setenv("NERFACC_FACTOR_BATCH", "0")
+    jax.clear_caches()
+    g_per = jax.grad(loss)(params, enc)["params"]["table"]
+    monkeypatch.setenv("NERFACC_FACTOR_BATCH", "1")
+    jax.clear_caches()
+    g_bat = jax.grad(loss)(params, enc)["params"]["table"]
+    monkeypatch.delenv("NERFACC_FACTOR_BATCH")
+    monkeypatch.delenv("NERFACC_FACTOR_PACK")
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(g_bat), np.asarray(g_per))
+
+
+def test_fused_factor_lanes_unpack_matches_t3(monkeypatch):
+    """NERFACC_DOUT_UNPACK=lanes (elementwise shift/mask bf16-pair unpack,
+    no minor-2 transpose) must be bit-identical to the t3 layout path in
+    every packing that moves bf16 pair columns through the sort."""
+    from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
+
+    kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
+              max_resolution=256)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((1021, 3), dtype=np.float32))
+    ct = jnp.asarray(rng.standard_normal((1021, 64)).astype(np.float32))
+
+    def loss(p, enc):
+        return (enc.apply(p, x) * ct).sum()
+
+    enc = HashGridEncoderFused(**kw, table_grad="factor",
+                               compute_dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x[:8])
+    for pack in ("u10", "w3", "w8"):
+        monkeypatch.setenv("NERFACC_FACTOR_PACK", pack)
+        monkeypatch.setenv("NERFACC_DOUT_UNPACK", "t3")
+        jax.clear_caches()
+        g_t3 = jax.grad(loss)(params, enc)["params"]["table"]
+        monkeypatch.setenv("NERFACC_DOUT_UNPACK", "lanes")
+        jax.clear_caches()
+        g_ln = jax.grad(loss)(params, enc)["params"]["table"]
+        np.testing.assert_array_equal(
+            np.asarray(g_ln), np.asarray(g_t3), err_msg=f"pack={pack}"
+        )
+    monkeypatch.delenv("NERFACC_DOUT_UNPACK")
+    monkeypatch.delenv("NERFACC_FACTOR_PACK")
+    jax.clear_caches()
