@@ -459,6 +459,132 @@ class HashGridEncoderFused(nn.Module):
         return out.reshape(batch_shape + (L * F,))
 
 
+class HashGridEncoderGrouped(nn.Module):
+    """Multi-level-packed hash encoding for the reference's tcnn shape
+    (16 levels x 2 features, ``ngp.py:99-137``): ONE gather serves
+    ``J = 128 // (8*F)`` consecutive levels.
+
+    The tcnn-parity encoders evaluate 8 corners x L levels x F features
+    per sample as separate scalar gathers — at 16Lx2F that is 64x the
+    index count of the corner-fused L4F16 layout, and XLA's TPU gather
+    costs ~7 ns per INDEX regardless of row width (measured on v5e), so
+    the exact parameterization runs ~60x slower end-to-end.  This encoder
+    extends the corner-fused trade to the level axis: a 128-lane table
+    row holds ``J`` sub-levels x 8 corners x ``F`` features (lane
+    ``l`` = corner ``l // (J*F)``, sub-level ``(l % (J*F)) // F``,
+    feature ``l % F``), keyed by the cell of the GROUP'S FINEST level;
+    each sub-level contributes its own trilinear weights computed at its
+    own resolution from the shared sample position.  At 16Lx2F that is
+    TWO gathers per sample instead of 256 scalar ones.
+
+    Trade-off (same class as :class:`HashGridEncoderFused`'s corner
+    fusion, documented there): within a group, coarser sub-levels'
+    features are stored at the finest key grid's granularity, so their
+    cross-cell smoothness comes from the interpolation weights and the
+    MLP rather than from storage sharing.  Parameter count matches the
+    reference exactly when ``log2_hashmap_size`` is 3 less than tcnn's
+    (same 8x-corners rule as the fused encoder; ``NGPRadianceField``
+    applies it automatically): 16L x 2F x 2^19 tcnn entries == 2 groups
+    x 2^16 rows x 128 lanes == 16.7M params either way.
+
+    The backward (``table_grad="factor"``) carries the raw f32 sample
+    positions through the compaction sort — 3 operands for ALL ``J``
+    sub-levels' weights, vs ``J`` packed weight words — and recomputes
+    every frac in-kernel from compile-time resolutions
+    (:func:`~nerfacc_tpu.ops.table_grad.table_grad_factors_sorted_pos`).
+    Zero gradient to positions BY CONTRACT on that path."""
+
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 16
+    base_resolution: int = 16
+    max_resolution: int = 4096
+    compute_dtype: Optional[jnp.dtype] = None
+    table_grad: str = "factor"
+
+    @property
+    def latent_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def sub_levels(self) -> int:
+        return _LANE_WIDTH // (8 * self.n_features_per_level)
+
+    def _resolutions(self):
+        return grid_resolutions(
+            self.n_levels, self.base_resolution, self.max_resolution
+        )
+
+    @nn.compact
+    def __call__(self, x) -> Array:
+        T = 1 << self.log2_hashmap_size
+        L, F = self.n_levels, self.n_features_per_level
+        J = self.sub_levels
+        assert 8 * F * J == _LANE_WIDTH
+        assert L % J == 0, (
+            f"grouped encoder needs n_levels % {J} == 0 at F={F}"
+        )
+        G = L // J
+        resolutions = self._resolutions()
+
+        table = self.param(
+            "table", nn.initializers.uniform(scale=2e-4), (G * T, _LANE_WIDTH)
+        )
+        table_f32 = table - 1e-4
+        cdt = self.compute_dtype
+
+        from ..ops.table_grad import hash_lookup_combine_pos, on_tpu
+
+        if isinstance(x, (tuple, list)):
+            xs, ys, zs = x
+            batch_shape = xs.shape
+            n = xs.shape[0]
+            in_dtype = xs.dtype
+        else:
+            batch_shape = x.shape[:-1]
+            n = int(np.prod(batch_shape)) if batch_shape else 1
+            xs = x[..., 0].reshape(n)
+            ys = x[..., 1].reshape(n)
+            zs = x[..., 2].reshape(n)
+            in_dtype = x.dtype
+
+        # Group keys: the finest level of each group hashes the row.
+        key_res = [resolutions[(gi + 1) * J - 1] for gi in range(G)]
+        res_i = jnp.asarray(key_res, jnp.int32)[:, None]  # (G, 1)
+        res_f = jnp.asarray(key_res, in_dtype)[:, None]
+        cx = jnp.floor(xs[None, :] * res_f).astype(jnp.int32)  # (G, n)
+        cy = jnp.floor(ys[None, :] * res_f).astype(jnp.int32)
+        cz = jnp.floor(zs[None, :] * res_f).astype(jnp.int32)
+        use_dense = res_i**3 <= T
+        group_offset = (jnp.arange(G, dtype=jnp.int32) * T)[:, None]
+        dense_idx = (cx * res_i + cy) * res_i + cz
+        h = (
+            (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
+            ^ (cy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+            ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+        ) & jnp.uint32(T - 1)
+        idx = jnp.where(use_dense, dense_idx & (T - 1), h.astype(jnp.int32))
+        idx = (idx + group_offset).reshape(-1)  # (G*n,) group-major
+
+        out = hash_lookup_combine_pos(
+            table_f32, idx,
+            xs.astype(jnp.float32), ys.astype(jnp.float32),
+            zs.astype(jnp.float32),
+            resolutions, F=F,
+            compute_dtype=cdt, interpret=not on_tpu(),
+            level_span=T, n_groups=G,
+            grad_mode=("factor" if self.table_grad == "factor"
+                       else "scatter"),
+        )  # (G*n, J*F)
+        # Per-group (n, J*F) blocks concatenated on features = level-major
+        # (n, L*F) output, matching the tcnn feature ordering — no
+        # minor-dim transpose is ever materialized.
+        out = jnp.concatenate(
+            [out[gi * n : (gi + 1) * n] for gi in range(G)], axis=1
+        )
+        return out.reshape(batch_shape + (L * F,))
+
+
 class HashGridEncoderFolded(nn.Module):
     """Corner-fused hash encoding with the trilinear combine FOLDED into the
     consumer matmul (the fast path; v5e-measured redesign of

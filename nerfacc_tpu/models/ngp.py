@@ -21,6 +21,7 @@ from .encoding import HashGridEncoder, spherical_harmonics_deg4
 from .hash_soa import (
     HashGridEncoderFolded,
     HashGridEncoderFused,
+    HashGridEncoderGrouped,
     HashGridEncoderSoA,
 )
 
@@ -29,6 +30,7 @@ _ENCODERS = {
     "soa": HashGridEncoderSoA,
     "fused": HashGridEncoderFused,
     "folded": HashGridEncoderFolded,
+    "grouped": HashGridEncoderGrouped,
 }
 
 Array = jnp.ndarray
@@ -120,7 +122,7 @@ class NGPRadianceField(nn.Module):
         # drop their per-level entry count 8x so the parameter budget matches
         # the reference layout (2^19 x 2 == 2^16 rows x 8 corners x 2).
         log2_t = self.log2_hashmap_size - (
-            3 if self.encoder_type in ("fused", "folded") else 0
+            3 if self.encoder_type in ("fused", "folded", "grouped") else 0
         )
         enc_kwargs = dict(
             n_levels=self.n_levels,
@@ -129,7 +131,7 @@ class NGPRadianceField(nn.Module):
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
-        if self.encoder_type == "fused":
+        if self.encoder_type in ("fused", "grouped"):
             if self.compute_dtype is not None:
                 enc_kwargs["compute_dtype"] = self.compute_dtype
             enc_kwargs["table_grad"] = self.table_grad
@@ -186,7 +188,9 @@ class NGPRadianceField(nn.Module):
         ``(n, 3)`` intermediate pays on TPU."""
         aabb = jnp.asarray(self.aabb, jnp.float32)
         if isinstance(x, (tuple, list)):
-            assert self.encoder_type == "fused", "SoA input needs the fused encoder"
+            assert self.encoder_type in ("fused", "grouped"), (
+                "SoA input needs the fused or grouped encoder"
+            )
             xs, ys, zs = x
             lo, hi = aabb[:3], aabb[3:]
             ux = (xs - lo[0]) / (hi[0] - lo[0])
@@ -267,7 +271,7 @@ class NGPDensityField(nn.Module):
 
     def setup(self):
         log2_t = self.log2_hashmap_size - (
-            3 if self.encoder_type in ("fused", "folded") else 0
+            3 if self.encoder_type in ("fused", "folded", "grouped") else 0
         )
         enc_kwargs = dict(
             n_levels=self.n_levels,
@@ -276,7 +280,9 @@ class NGPDensityField(nn.Module):
             base_resolution=self.base_resolution,
             max_resolution=self.max_resolution,
         )
-        if self.compute_dtype is not None and self.encoder_type == "fused":
+        if self.compute_dtype is not None and self.encoder_type in (
+            "fused", "grouped",
+        ):
             enc_kwargs["compute_dtype"] = self.compute_dtype
         self.encoder = _ENCODERS[self.encoder_type](**enc_kwargs)
         self.mlp_base = nn.Sequential(

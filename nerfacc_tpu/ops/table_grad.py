@@ -1237,6 +1237,409 @@ def hash_lookup_combine3(
     )(table, idx, wx, wy, wz)
 
 
+def _factor_kernel_pos(
+    wid_ref,
+    off_ref,
+    first_ref,
+    valid_ref,
+    idx_hbm,  # (n_pad/128, 128) i32 in ANY
+    pos_hbm,  # (3, n_payload) f32 sample positions, transposed, ANY
+    dout_hbm,  # (J*F, n_payload) dout rows, transposed, ANY
+    out_ref,  # (W, 128) f32 block
+    idx_vmem,  # scratch (CH/128, 128) i32
+    pos_vmem,  # scratch (3, CH) f32
+    dout_vmem,  # scratch (J*F, CH)
+    sems,  # DMA semaphores (3,)
+    *,
+    W: int,
+    CH: int,
+    F: int,
+    J: int,
+    RES: tuple,  # J per-sub-level resolutions (compile-time floats)
+):
+    """Grouped-row variant of :func:`_factor_kernel_u10` for the tcnn-shape
+    encoder (``models/hash_soa.py:HashGridEncoderGrouped``): one 128-lane
+    table row holds ``J`` sub-levels x 8 corners x ``F`` features (lane
+    ``l`` = corner ``l // (J*F)``, sub-level ``(l % (J*F)) // F``, feature
+    ``l % F``), and the backward carries the raw f32 sample POSITIONS
+    through the sort (3 operands) instead of ``J`` packed per-sub-level
+    weight words — all ``3*J`` fractional weights are recomputed here on
+    the VPU from the compile-time resolutions, bit-identical to the
+    forward's ``x*r - floor(x*r)``.  The cotangent tile keeps the existing
+    blocked rank-1 structure ``(W64 placed) * (dout placed)``: two 0/1
+    placement matmuls feeding the same windowed one-hot accumulation."""
+    s = pl.program_id(0)
+    off = pl.multiple_of(off_ref[s], CH)
+    row0 = pl.multiple_of(off // _LANE, CH // _LANE)
+
+    idx_dma = pltpu.make_async_copy(
+        idx_hbm.at[pl.ds(row0, CH // _LANE), :], idx_vmem, sems.at[0]
+    )
+    pos_dma = pltpu.make_async_copy(
+        pos_hbm.at[:, pl.ds(off, CH)], pos_vmem, sems.at[1]
+    )
+    d_dma = pltpu.make_async_copy(
+        dout_hbm.at[:, pl.ds(off, CH)], dout_vmem, sems.at[2]
+    )
+    idx_dma.start()
+    pos_dma.start()
+    d_dma.start()
+    idx_dma.wait()
+    pos_dma.wait()
+    d_dma.wait()
+
+    dt = dout_vmem.dtype
+    JF = J * F
+    # Placement matmuls.  W64 rows are ordered [j][c]; lane l maps to
+    # corner c = l // JF and sub-level j = (l % JF) // F.
+    lE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * J), 0)
+    mE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * J), 1)
+    Et = (
+        (((lE % JF) // F) * 8 + lE // JF) == mE
+    ).astype(dt)  # (128, 8J)
+    lT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, JF), 0)
+    tT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, JF), 1)
+    Tt = ((lT % JF) == tT).astype(dt)  # (128, JF)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
+    w0 = wid_ref[s] * W
+    w0 = jnp.where(valid_ref[s] == 1, w0, -(W + 1))
+    mm = jnp.zeros((W, _LANE), jnp.float32)
+    for k in range(CH // _LANE):
+        sl = slice(k * _LANE, (k + 1) * _LANE)
+        x = pos_vmem[0, sl][None, :]  # (1, 128) f32
+        y = pos_vmem[1, sl][None, :]
+        z = pos_vmem[2, sl][None, :]
+        w_rows = []
+        for j in range(J):
+            r = jnp.float32(RES[j])
+            xl = x * r
+            yl = y * r
+            zl = z * r
+            wx = xl - jnp.floor(xl)
+            wy = yl - jnp.floor(yl)
+            wz = zl - jnp.floor(zl)
+            w_rows.append(
+                jnp.concatenate(
+                    [
+                        ((wx if dx else 1.0 - wx)
+                         * (wy if dy else 1.0 - wy)
+                         * (wz if dz else 1.0 - wz))
+                        for dx in (0, 1)
+                        for dy in (0, 1)
+                        for dz in (0, 1)
+                    ],
+                    axis=0,
+                )
+            )
+        W64 = jnp.concatenate(w_rows, axis=0).astype(dt)  # (8J, 128)
+        we = jax.lax.dot_general(
+            Et, W64,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        de = jax.lax.dot_general(
+            Tt, dout_vmem[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dgT = (we * de).astype(dt)  # (128, 128) cotangent tile, transposed
+        rel = idx_vmem[k, :] - w0
+        oh = (rel[None, :] == rows).astype(dt)
+        mm = mm + jax.lax.dot_general(
+            oh, dgT,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(first_ref[s] == 1)
+    def _():
+        out_ref[:] = mm
+
+    @pl.when(first_ref[s] == 0)
+    def _():
+        out_ref[:] = out_ref[:] + mm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows", "RES", "F", "J", "W", "CH", "interpret"),
+)
+def table_grad_factors_sorted_pos(
+    sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
+    pos_sorted_t: Array,  # (3, N) f32 sample positions, transposed
+    dout_sorted_t: Array,  # (J*F, N) dout rows, transposed
+    *,
+    n_rows: int,
+    RES: tuple,
+    F: int = 2,
+    J: int = 8,
+    W: int = 512,
+    CH: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Positional grouped flavor of :func:`table_grad_factors_sorted_u10`
+    (3 raw f32 position operands through the sort instead of per-sub-level
+    weight words; fracs recomputed in-kernel from compile-time ``RES``)."""
+    assert 8 * F * J == _LANE
+    assert len(RES) == J
+    assert n_rows % W == 0 and CH % _LANE == 0
+    assert pos_sorted_t.shape[0] == 3
+    assert dout_sorted_t.shape[0] == J * F
+    n = sorted_idx.shape[0]
+    n_pad = -(-(n + CH) // CH) * CH
+    sorted_idx = jnp.concatenate(
+        [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
+    )
+    if n % CH:
+        pos_sorted_t = jnp.concatenate(
+            [pos_sorted_t, jnp.zeros((3, n_pad - n), pos_sorted_t.dtype)],
+            axis=1,
+        )
+        dout_sorted_t = jnp.concatenate(
+            [
+                dout_sorted_t,
+                jnp.zeros((J * F, n_pad - n), dout_sorted_t.dtype),
+            ],
+            axis=1,
+        )
+
+    NW = n_rows // W
+    n_slots = 2 * NW + n_pad // CH
+    wid, off, first, valid = _worklist(
+        sorted_idx, n_rows, W, CH, n_slots, dout_sorted_t.shape[1]
+    )
+
+    kernel = functools.partial(
+        _factor_kernel_pos, W=W, CH=CH, F=F, J=J, RES=RES
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (W, _LANE), lambda s, wid, off, first, valid: (wid[s], 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
+                pltpu.VMEM((3, CH), jnp.float32),
+                pltpu.VMEM((J * F, CH), dout_sorted_t.dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * CH * (W + 8 * J + 16) * _LANE,
+            bytes_accessed=n_pad
+            * (16 + J * F * dout_sorted_t.dtype.itemsize)
+            + n_rows * _LANE * 4,
+            transcendentals=0,
+        ),
+    )(
+        wid, off, first, valid,
+        sorted_idx.reshape(-1, _LANE),
+        pos_sorted_t,
+        dout_sorted_t,
+    )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sized_lookup_combine_pos(
+    n_rows: int,
+    F: int,
+    J: int,
+    compute_dtype_name: str,
+    interpret: bool,
+    level_span: int,
+    n_groups: int,
+    level_base: int,
+    resolutions: tuple,
+    grad_mode: str,
+):
+    """custom_vjp for the GROUPED hash-row lookup+combine
+    (``HashGridEncoderGrouped``): ``out[g*n + i, j*F + f] =
+    sum_c w[i, g*J + j, c] * table[idx_{g*n+i}, c*J*F + j*F + f]`` where
+    the trilinear corner weights ``w`` come from each sub-level's own
+    resolution fracs of the shared sample position.  The table gradient
+    runs :func:`table_grad_factors_sorted_pos` (positions carried through
+    the sort, fracs recomputed in-kernel).
+
+    Same zero-positions-gradient contract as :func:`_sized_lookup_combine`
+    — do NOT use where sample positions require gradients."""
+    cdt = None if compute_dtype_name == "none" else jnp.dtype(
+        compute_dtype_name
+    )
+    span = level_span or n_rows
+    W = next((w for w in _window_candidates() if span % w == 0), None)
+    JF = J * F
+    lane = np.arange(_LANE)
+    c_of = lane // JF
+    res_np = np.asarray(resolutions, np.float32).reshape(n_groups, J)
+
+    def plain(table, idx, xs, ys, zs):
+        t = table if cdt is None else table.astype(cdt)
+        g = jnp.take(t, idx, axis=0)  # (G*n, 128)
+        n = xs.shape[0]
+        bx = jnp.asarray((c_of >> 2) & 1, jnp.int32)
+        by = jnp.asarray((c_of >> 1) & 1, jnp.int32)
+        bz = jnp.asarray(c_of & 1, jnp.int32)
+        # One-hot lane->feature reduction on the MXU: the einsum
+        # alternative reshapes (n, 128) to (n, 8, JF) whose (8, JF) minor
+        # dims tile-pad up to 16x (the flagship einsum form has a 16-wide
+        # feature minor and measured fine; JF here is 16 too but the
+        # corner axis lands mid-tensor).  A plain ``.sum`` variant is kept
+        # via NERFACC_GCOMBINE for device A/B.
+        S = (
+            (lane[:, None] % JF) == np.arange(JF)[None, :]
+        ).astype(np.float32)
+        Sc = jnp.asarray(S, g.dtype)
+        outs = []
+        for gi in range(n_groups):
+            res_g = jnp.asarray(res_np[gi])  # (J,) f32
+            xl = xs[:, None] * res_g[None, :]  # (n, J) f32
+            yl = ys[:, None] * res_g[None, :]
+            zl = zs[:, None] * res_g[None, :]
+            fx = xl - jnp.floor(xl)
+            fy = yl - jnp.floor(yl)
+            fz = zl - jnp.floor(zl)
+
+            def lanes(f):  # (n, J) -> (n, 128): repeat F, tile 8 corners
+                return jnp.tile(jnp.repeat(f, F, axis=1), (1, 8))
+
+            fxl, fyl, fzl = lanes(fx), lanes(fy), lanes(fz)
+            mask = (
+                jnp.where(bx == 1, fxl, 1.0 - fxl)
+                * jnp.where(by == 1, fyl, 1.0 - fyl)
+                * jnp.where(bz == 1, fzl, 1.0 - fzl)
+            )
+            gg = g[gi * n : (gi + 1) * n]
+            prod = gg * mask.astype(gg.dtype)
+            if os.environ.get("NERFACC_GCOMBINE", "mxu") == "sum":
+                out = prod.reshape(n, 8, JF).sum(axis=1)
+            else:
+                out = jax.lax.dot_general(
+                    prod, Sc,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(gg.dtype)
+            outs.append(out)
+        return jnp.concatenate(outs, axis=0)  # (G*n, JF)
+
+    fdt = jnp.bfloat16 if cdt is not None else jnp.float32
+    if W is None or grad_mode != "factor" or fdt != jnp.bfloat16 or JF % 2:
+        # f32 compute keeps the autodiff scatter (bf16 dout columns would
+        # silently halve the full-precision payload), as does an odd
+        # payload width (no bf16 pairing).
+        return plain
+
+    @jax.custom_vjp
+    def lookup_combine(table, idx, xs, ys, zs):
+        return plain(table, idx, xs, ys, zs)
+
+    def fwd(table, idx, xs, ys, zs):
+        return lookup_combine(table, idx, xs, ys, zs), (idx, xs, ys, zs)
+
+    def bwd(res_, dout):
+        idx, xs, ys, zs = res_
+        n = xs.shape[0]
+        px = jax.lax.bitcast_convert_type(xs.astype(jnp.float32), jnp.int32)
+        py = jax.lax.bitcast_convert_type(ys.astype(jnp.float32), jnp.int32)
+        pz = jax.lax.bitcast_convert_type(zs.astype(jnp.float32), jnp.int32)
+        dcols = jax.lax.bitcast_convert_type(
+            dout.astype(jnp.bfloat16).reshape(idx.shape[0], JF // 2, 2),
+            jnp.int32,
+        )  # (G*n, JF/2)
+        parts = []
+        for gi in range(n_groups):
+            base = (level_base + gi) * span if level_span else 0
+            sl = slice(gi * n, (gi + 1) * n)
+            sorted_ops = jax.lax.sort(
+                (idx[sl] - base, px, py, pz)
+                + tuple(dcols[sl, c] for c in range(JF // 2)),
+                num_keys=1,
+            )
+            pos_t = jax.lax.bitcast_convert_type(
+                jnp.stack(sorted_ops[1:4], axis=0), jnp.float32
+            )  # (3, n)
+            dout_t = _unpack_bf16_pairs_t(
+                jnp.stack(sorted_ops[4:], axis=0), JF
+            )
+            parts.append(
+                table_grad_factors_sorted_pos(
+                    sorted_ops[0], pos_t, dout_t,
+                    n_rows=span, RES=tuple(res_np[gi].tolist()),
+                    F=F, J=J, W=W, interpret=interpret,
+                )
+            )
+        block = (
+            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        )
+        lo = level_base * span if level_span else 0
+        hi = lo + n_groups * span
+        if lo == 0 and hi == n_rows:
+            dtable = block
+        else:
+            dtable = jnp.concatenate(
+                [
+                    jnp.zeros((lo, _LANE), jnp.float32),
+                    block,
+                    jnp.zeros((n_rows - hi, _LANE), jnp.float32),
+                ],
+                axis=0,
+            )
+        return (
+            dtable,
+            None,
+            jnp.zeros_like(xs),
+            jnp.zeros_like(ys),
+            jnp.zeros_like(zs),
+        )
+
+    lookup_combine.defvjp(fwd, bwd)
+    return lookup_combine
+
+
+def hash_lookup_combine_pos(
+    table: Array,  # (n_groups*span, 128) f32 master table
+    idx: Array,  # (n_groups*n,) i32, group-major
+    xs: Array,  # (n,) f32 sample positions in encoder [0,1] coords
+    ys: Array,
+    zs: Array,
+    resolutions,  # length n_groups*J sequence of per-level resolutions
+    F: int = 2,
+    compute_dtype=None,
+    interpret: bool = False,
+    level_span: int = 0,
+    n_groups: int = 1,
+    level_base: int = 0,
+    grad_mode: str = "factor",
+) -> Array:
+    """Grouped fused gather + multi-sub-level trilinear combine for the
+    tcnn-shape encoder: one gather serves ``J = 128 // (8*F)`` levels.
+    Returns ``(n_groups*n, J*F)``.  ``grad_mode="factor"`` routes the
+    table gradient through the positional sorted Pallas reduction (zero
+    gradient to positions BY CONTRACT); ``"scatter"`` keeps autodiff."""
+    assert table.ndim == 2 and table.shape[1] == _LANE
+    J = _LANE // (8 * F)
+    assert 8 * F * J == _LANE
+    assert idx.shape[0] == n_groups * xs.shape[0]
+    assert len(resolutions) == n_groups * J
+    name = "none" if compute_dtype is None else jnp.dtype(compute_dtype).name
+    return _sized_lookup_combine_pos(
+        int(table.shape[0]), int(F), int(J), name, interpret,
+        int(level_span), int(n_groups), int(level_base),
+        tuple(float(r) for r in resolutions), grad_mode,
+    )(table, idx, xs, ys, zs)
+
+
 def _cell_place_kernel(
     wid_ref,
     off_ref,
