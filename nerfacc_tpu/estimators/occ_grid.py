@@ -497,20 +497,40 @@ class OccGridEstimator(AbstractEstimator):
             # Cell coords derived arithmetically from the flat index
             # (meshgrid-ij layout) — replaces a row gather of the
             # (cells, 3) coord table (~7 ns/index for 1M sampled cells).
-            coords = jnp.stack(
-                [
-                    (indices // (ry * rz)).astype(jnp.float32),
-                    ((indices // rz) % ry).astype(jnp.float32),
-                    (indices % rz).astype(jnp.float32),
-                ],
-                axis=-1,
-            )
-            x = (
-                coords
-                + jax.random.uniform(k_jit, coords.shape, jnp.float32)
-            ) / resolution
+            comps = [
+                (indices // (ry * rz)).astype(jnp.float32),
+                ((indices // rz) % ry).astype(jnp.float32),
+                (indices % rz).astype(jnp.float32),
+            ]
             aabb = state.aabbs[lvl]
-            x = aabb[:3] + x * (aabb[3:] - aabb[:3])
+            if os.environ.get("NERFACC_OCC_SOA", "0") == "1":
+                # SoA probe positions: three 1-D component arrays instead
+                # of one (n, 3) tensor (whose 3-minor dim lane-pads 42x on
+                # TPU — the round-4 occ trace's copy.9 3.15 ms +
+                # reshape.23 2.09 ms are exactly such relayouts).  The
+                # eval fn must accept a component tuple — true for
+                # NGPRadianceField.query_density with the fused/grouped
+                # encoders; keep the default (n, 3) path for generic fns.
+                x = tuple(
+                    aabb[c]
+                    + (
+                        comps[c]
+                        + jax.random.uniform(
+                            jax.random.fold_in(k_jit, c),
+                            comps[c].shape, jnp.float32,
+                        )
+                    )
+                    / resolution[c]
+                    * (aabb[3 + c] - aabb[c])
+                    for c in range(3)
+                )
+            else:
+                coords = jnp.stack(comps, axis=-1)
+                x = (
+                    coords
+                    + jax.random.uniform(k_jit, coords.shape, jnp.float32)
+                ) / resolution
+                x = aabb[:3] + x * (aabb[3:] - aabb[:3])
             occ = occ_eval_fn(x).reshape(-1)
 
             cell_ids = lvl * self.cells_per_lvl + indices

@@ -66,7 +66,9 @@ def _unpack_bf16_pairs_t(cols_i32: Array, n_rows_out: int) -> Array:
     """(C, n) i32 pair columns -> (2C, n) bf16 rows (row 2c = low half of
     column c, row 2c+1 = high half — the layout the factor kernels DMA).
 
-    Two variants (NERFACC_DOUT_UNPACK):
+    Two variants (NERFACC_DOUT_UNPACK; "lanes" is the DEFAULT since the
+    round-5 device A/B: 12.97M vs 12.78M samples/s end-to-end, step 38.18
+    vs 38.81 ms):
       "t3"    — bitcast to (C, n, 2) bf16 + transpose(0,2,1) + reshape.
                 The transpose moves a minor-2 axis, which XLA lowers as a
                 real relayout copy (copy.216, 1.59 ms at 2M x 16 on v5e).
@@ -76,7 +78,7 @@ def _unpack_bf16_pairs_t(cols_i32: Array, n_rows_out: int) -> Array:
     """
     C, n = cols_i32.shape
     assert n_rows_out == 2 * C
-    if os.environ.get("NERFACC_DOUT_UNPACK", "t3") == "lanes":
+    if os.environ.get("NERFACC_DOUT_UNPACK", "lanes") == "lanes":
         rows = []
         for c in range(C):
             x = cols_i32[c]

@@ -116,3 +116,52 @@ def test_dynamic_procedural_loaders():
     assert float(b["timestamps"].max()) <= 1.0
     bt = test[0]
     assert bt["timestamps"].shape == (24, 24, 1)
+
+
+def test_subject_loader_disk_fixture(tmp_path, monkeypatch):
+    """The disk path of SubjectLoader (transforms_*.json + PNGs — the
+    real-data conformance protocol, reference ngp.rst:17-48) parses the
+    committed tiny fixture, and bench.py's _quality_data auto-switches to
+    it when NERFACC_DATA_ROOT is set (VERDICT r4 #7)."""
+    import os
+
+    from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
+
+    root = os.path.join(
+        os.path.dirname(__file__), "fixtures", "nerf_synthetic_tiny"
+    )
+    train = SubjectLoader(
+        subject_id="lego", root_fp=root, split="train", num_rays=64,
+        color_bkgd_aug="random",
+    )
+    assert len(train) == 2 and train.WIDTH == 16 and train.HEIGHT == 16
+    batch = train[0]
+    assert batch["rays"].origins.shape == (64, 3)
+    assert batch["pixels"].shape == (64, 3)
+    # Ray directions are unit-norm and originate at the camera centers.
+    d = np.asarray(batch["rays"].viewdirs)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    o = np.asarray(batch["rays"].origins)
+    cams = train.camtoworlds[:, :3, 3]
+    dist = np.linalg.norm(o[:, None] - cams[None], axis=-1).min(axis=1)
+    np.testing.assert_allclose(dist, 0.0, atol=1e-5)
+
+    test = SubjectLoader(subject_id="lego", root_fp=root, split="test")
+    full = test[0]
+    assert full["pixels"].shape == (16, 16, 3)
+
+    # bench.py auto-switch: with NERFACC_DATA_ROOT set, the quality phase
+    # loads the real subject (tag, aabb, occ-res flip to the reference
+    # protocol); without it, the procedural proxy.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setenv("NERFACC_DATA_ROOT", root)
+    monkeypatch.setenv("BENCH_Q_RAYS", "64")
+    tr, te, tag, aabb_half, occ_res = bench._quality_data()
+    assert tag == "lego" and aabb_half == 1.5 and occ_res == 128
+    assert tr[0]["rays"].origins.shape == (64, 3)
