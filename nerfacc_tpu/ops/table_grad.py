@@ -1245,11 +1245,11 @@ def _factor_kernel_pos(
     first_ref,
     valid_ref,
     idx_hbm,  # (n_pad/128, 128) i32 in ANY
-    pos_hbm,  # (3, n_payload) f32 sample positions, transposed, ANY
+    pos_hbm,  # (4, n_payload) f32 positions (row 3 = pad), transposed, ANY
     dout_hbm,  # (J*F, n_payload) dout rows, transposed, ANY
     out_ref,  # (W, 128) f32 block
     idx_vmem,  # scratch (CH/128, 128) i32
-    pos_vmem,  # scratch (3, CH) f32
+    pos_vmem,  # scratch (4, CH) f32
     dout_vmem,  # scratch (J*F, CH)
     sems,  # DMA semaphores (3,)
     *,
@@ -1393,9 +1393,20 @@ def table_grad_factors_sorted_pos(
     sorted_idx = jnp.concatenate(
         [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
     )
+    # Mosaic HBM->VMEM slices must be tile-aligned on the SUBLANE dim too
+    # (f32 tiling (4, 128): "Slice shape along dimension 0 must be aligned
+    # to tiling (4), but is 3" on device) — pad the position operand to 4
+    # rows; the kernel reads rows 0..2.
+    pos_sorted_t = jnp.concatenate(
+        [
+            pos_sorted_t,
+            jnp.zeros((1, pos_sorted_t.shape[1]), pos_sorted_t.dtype),
+        ],
+        axis=0,
+    )
     if n % CH:
         pos_sorted_t = jnp.concatenate(
-            [pos_sorted_t, jnp.zeros((3, n_pad - n), pos_sorted_t.dtype)],
+            [pos_sorted_t, jnp.zeros((4, n_pad - n), pos_sorted_t.dtype)],
             axis=1,
         )
         dout_sorted_t = jnp.concatenate(
@@ -1430,7 +1441,7 @@ def table_grad_factors_sorted_pos(
             ),
             scratch_shapes=[
                 pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
-                pltpu.VMEM((3, CH), jnp.float32),
+                pltpu.VMEM((4, CH), jnp.float32),
                 pltpu.VMEM((J * F, CH), dout_sorted_t.dtype),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
