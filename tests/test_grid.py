@@ -391,3 +391,50 @@ def test_occ_update_sort_compaction_matches_scatter(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(outs["sort"].binaries), np.asarray(outs["scatter"].binaries)
     )
+
+
+def test_occ_update_soa_positions_equivalent(monkeypatch):
+    """NERFACC_OCC_SOA=1 probes the SAME cells as the (n, 3) path (only
+    the within-cell jitter stream differs), so with a jitter-insensitive
+    occ_eval_fn (constant per cell at this resolution) the resulting
+    state must be identical; the eval fn must receive a component tuple."""
+    from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
+
+    est = OccGridEstimator(
+        roi_aabb=[-1, -1, -1, 1, 1, 1], resolution=16, levels=1
+    )
+    rng = np.random.default_rng(11)
+    state0 = est.set_binaries(
+        est.init(), jnp.asarray(rng.random((1, 16, 16, 16)) > 0.7)
+    )
+    saw_tuple = []
+
+    def occ_eval_fn(x):
+        if isinstance(x, tuple):
+            saw_tuple.append(True)
+            xs, ys, zs = x
+        else:
+            xs, ys, zs = x[..., 0], x[..., 1], x[..., 2]
+        # Constant within each res-16 cell: floor to the cell lattice.
+        fx = jnp.floor((xs + 1) * 8) / 8
+        fy = jnp.floor((ys + 1) * 8) / 8
+        fz = jnp.floor((zs + 1) * 8) / 8
+        return ((fx + fy + fz) % 0.375)[..., None]
+
+    key = jax.random.PRNGKey(5)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("NERFACC_OCC_SOA", mode)
+        jax.clear_caches()
+        outs[mode] = est._update(
+            state0, step=10**9, occ_eval_fn=occ_eval_fn, key=key
+        )
+    monkeypatch.delenv("NERFACC_OCC_SOA")
+    jax.clear_caches()
+    assert saw_tuple, "SoA mode must pass a component tuple"
+    np.testing.assert_array_equal(
+        np.asarray(outs["0"].occs), np.asarray(outs["1"].occs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["0"].binaries), np.asarray(outs["1"].binaries)
+    )
