@@ -207,8 +207,11 @@ def throughput_phase():
             lambda x: field.apply(params, x, method="query_density")
             * render_step_size
         )
+        # SoA probe positions (device A/B r5: fused occ-update 34.8 vs
+        # 35.6-36.2 ms) — only the fused/grouped encoders accept tuples.
         return estimator._update(
-            occ_state, step=10**9, occ_eval_fn=occ_eval_fn, key=key
+            occ_state, step=10**9, occ_eval_fn=occ_eval_fn, key=key,
+            soa_positions=encoder_type in ("fused", "grouped"),
         )
 
     # Warmup / compile.
@@ -381,6 +384,8 @@ class _QualityRun:
             return estimator._update(
                 occ_state, step=0 if warmup else 10**9,
                 occ_eval_fn=occ_eval_fn, key=key, warmup_steps=1,
+                soa_positions=encoder_cfg.get("encoder_type", "fused")
+                in ("fused", "grouped"),
             )
 
         # Scale the eval chunk down for the scalar-parity encoders: their

@@ -364,6 +364,7 @@ class OccGridEstimator(AbstractEstimator):
         ema_decay: float = 0.95,
         warmup_steps: int = 256,
         n: int = 16,
+        soa_positions: Optional[bool] = None,
     ) -> OccGridState:
         """EMA update the grid every ``n`` steps (``occ_grid.py:223-259``).
 
@@ -379,6 +380,7 @@ class OccGridEstimator(AbstractEstimator):
                 occ_thre=occ_thre,
                 ema_decay=ema_decay,
                 warmup_steps=warmup_steps,
+                soa_positions=soa_positions,
             )
         return state
 
@@ -391,8 +393,15 @@ class OccGridEstimator(AbstractEstimator):
         occ_thre: float = 1e-2,
         ema_decay: float = 0.95,
         warmup_steps: int = 256,
+        soa_positions: Optional[bool] = None,
     ) -> OccGridState:
         """One EMA update (``occ_grid.py:366-404``).
+
+        ``soa_positions=True`` hands ``occ_eval_fn`` a ``(xs, ys, zs)``
+        component tuple instead of an ``(n, 3)`` array (no lane-padded
+        3-minor intermediates; the fn must accept tuples — true for
+        ``NGPRadianceField.query_density`` with the fused/grouped
+        encoders).  Default ``None`` reads NERFACC_OCC_SOA (off).
 
         Warmup (step < warmup_steps): evaluate every cell of every level.
         After: per level, 1/4-of-cells uniform + 1/4 occupancy-weighted cells
@@ -503,7 +512,12 @@ class OccGridEstimator(AbstractEstimator):
                 (indices % rz).astype(jnp.float32),
             ]
             aabb = state.aabbs[lvl]
-            if os.environ.get("NERFACC_OCC_SOA", "0") == "1":
+            use_soa = (
+                os.environ.get("NERFACC_OCC_SOA", "0") == "1"
+                if soa_positions is None
+                else soa_positions
+            )
+            if use_soa:
                 # SoA probe positions: three 1-D component arrays instead
                 # of one (n, 3) tensor (whose 3-minor dim lane-pads 42x on
                 # TPU — the round-4 occ trace's copy.9 3.15 ms +
