@@ -94,7 +94,10 @@ def main():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--num_rays", type=int, default=None)
     p.add_argument("--smoke", action="store_true")
-    p.add_argument("--encoder", type=str, default="fused", choices=["hash", "soa", "fused", "folded"])
+    p.add_argument("--encoder", type=str, default="fused",
+                   choices=["hash", "soa", "fused", "folded", "grouped"],
+                   help="'grouped' = the reference's 16Lx2F tcnn shape at "
+                        "fused-class speed (one gather per 8 levels)")
     p.add_argument("--field", type=str, default="ngp", choices=["ngp", "tensorf", "kplanes"],
                    help="radiance field family (tensorf/kplanes = the reference's benchmark plug-ins)")
     p.add_argument("--levels", type=int, default=None,

@@ -91,6 +91,12 @@ def make_parallel_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
+        # Pallas calls run inside (factor table-grad kernels, occ query);
+        # their out_shape carries no vma annotation, which check_vma
+        # rejects — disable the check, as the occ-update shard_map already
+        # does.  Collective correctness is covered by the cross-device
+        # equality assertions in tests/test_parallel.py.
+        check_vma=False,
     )
     def shard_loss(params, occ_state, rays_o, rays_d, pixels, bkgd, key):
         key = jax.random.fold_in(key, _linear_index(axis))
@@ -257,6 +263,7 @@ def make_parallel_propnet_train_step(
             mesh=mesh,
             in_specs=(P(), P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), (P(), P())),
+            check_vma=False,  # Pallas out_shape has no vma (see above)
         )
         def shard_loss(params, rays_o, rays_d, pixels, bkgd, key):
             fp, pp = params
@@ -346,6 +353,7 @@ def make_parallel_test_renderer(
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,  # Pallas out_shape has no vma (see above)
     )
     def round_fn(params, occ_state, rays_o, rays_d, near_planes, alive,
                  rgb, opacity, depth):

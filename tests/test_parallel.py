@@ -308,3 +308,43 @@ def test_two_process_distributed():
         assert m, out[-2000:]
         losses.append((m.group(1), m.group(2)))
     assert losses[0] == losses[1], losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_train_step_grouped_encoder():
+    """The grouped tcnn-shape encoder (flagship candidate) under the
+    sharded data-parallel train step: its positional factor kernel's
+    backward must compose with shard_map + psum grads."""
+    n_rays = 64
+    _, estimator, occ_state, _, rays_o, rays_d, pixels = _setup(n_rays)
+    aabb = [-1.0, -1.0, -1.0, 1.0, 1.0, 1.0]
+    field = NGPRadianceField(
+        aabb=aabb, encoder_type="grouped", n_levels=16,
+        n_features_per_level=2, log2_hashmap_size=12, max_resolution=64,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = field.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3))
+    )
+    mesh = make_mesh(jax.devices()[:8])
+    tx = optax.adam(1e-2)
+    step = make_parallel_train_step(
+        field, estimator, tx, mesh,
+        render_step_size=2e-2, near_plane=0.5, far_plane=4.0,
+        sample_capacity_per_shard=512,
+    )
+    params_r = replicate(params, mesh)
+    opt_r = replicate(tx.init(params), mesh)
+    occ_r = replicate(occ_state, mesh)
+    ro, rd, px = (shard_rays(a, mesh) for a in (rays_o, rays_d, pixels))
+    key = jax.random.PRNGKey(1)
+    p1, o1, loss1, n1 = step(
+        params_r, opt_r, occ_r, ro, rd, px, jnp.ones(3), key
+    )
+    p2, _, loss2, _ = step(p1, o1, occ_r, ro, rd, px, jnp.ones(3), key)
+    assert np.isfinite(float(loss1)) and float(loss2) < float(loss1)
+    assert int(n1) > 0
+    leaf = jax.tree.leaves(p1)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
