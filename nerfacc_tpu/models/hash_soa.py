@@ -501,6 +501,30 @@ class HashGridEncoderGrouped(nn.Module):
     max_resolution: int = 4096
     compute_dtype: Optional[jnp.dtype] = None
     table_grad: str = "factor"
+    # SPLIT-KEY rows: each 128-lane row holds J sub-levels, fetched in
+    # ``keys_per_row`` independent windows of J/keys_per_row sub-levels,
+    # each keyed by its OWN grid — two fetches with different keys share
+    # one row (disjoint lane sets), so the encoder gets G*keys_per_row
+    # real key grids (a fused-class multiresolution ladder) at tcnn's
+    # exact parameter count.  Measured necessity (CPU repro, 160x160
+    # proxy, 300 steps): single finest-key rows DIVERGE (14.2 dB — the
+    # coarse levels ride a heavily-colliding fine grid, so no clean
+    # coarse channel exists), a collision-capped single key stalls at
+    # 17.3 dB (sub-levels finer than the key only contribute periodic
+    # textures), while the fused 4-grid ladder reaches 32.2 dB — 4 key
+    # grids is the structural requirement.  With CONTINUOUS triangle-wave
+    # weights on non-key sub-levels (NERFACC_GROUPED_WB, default tri) the
+    # measured ladder on that repro is: split=2 22.8 dB, split=4 30.4,
+    # split=8 (pure per-level corner-fused) 29.7, fused 32.2, exact hash
+    # 34.3 — keys_per_row=4 is the quality/speed knee (8 fetches/sample
+    # vs the fused flagship's 4).
+    keys_per_row: int = 4
+    # Per-window key grid: the FINEST level in the window whose cell
+    # count stays within ``key_collision_cap * table_rows`` (an
+    # Instant-NGP-like collision budget), falling back to the window's
+    # finest level when none qualifies (fine windows — heavy collisions
+    # on the finest grid are what NGP hash levels already live with).
+    key_collision_cap: float = 16.0
 
     @property
     def latent_dim(self) -> int:
@@ -515,6 +539,30 @@ class HashGridEncoderGrouped(nn.Module):
             self.n_levels, self.base_resolution, self.max_resolution
         )
 
+    def _split(self) -> int:
+        sp = int(os.environ.get("NERFACC_GROUPED_SPLIT", self.keys_per_row))
+        return sp if self.sub_levels % sp == 0 else 1
+
+    def fetch_key_levels(self):
+        """Per-fetch key level indices under the collision-budget rule.
+        NERFACC_GROUPED_KEYCAP overrides the cap (A/B; 0 = window-finest
+        keys), NERFACC_GROUPED_SPLIT the keys_per_row."""
+        cap = float(
+            os.environ.get("NERFACC_GROUPED_KEYCAP", self.key_collision_cap)
+        )
+        T = 1 << self.log2_hashmap_size
+        Jg = self.sub_levels // self._split()
+        res = self._resolutions()
+        keys = []
+        for lg in range(self.n_levels // Jg):
+            lvls = list(range(lg * Jg, (lg + 1) * Jg))
+            ok = [
+                l for l in lvls
+                if (res[l] + 1) ** 3 <= cap * T
+            ]
+            keys.append(max(ok) if ok else lvls[-1])
+        return keys
+
     @nn.compact
     def __call__(self, x) -> Array:
         T = 1 << self.log2_hashmap_size
@@ -525,6 +573,9 @@ class HashGridEncoderGrouped(nn.Module):
             f"grouped encoder needs n_levels % {J} == 0 at F={F}"
         )
         G = L // J
+        split = self._split()
+        Jg = J // split
+        LG = G * split
         resolutions = self._resolutions()
 
         table = self.param(
@@ -548,15 +599,30 @@ class HashGridEncoderGrouped(nn.Module):
             zs = x[..., 2].reshape(n)
             in_dtype = x.dtype
 
-        # Group keys: the finest level of each group hashes the row.
-        key_res = [resolutions[(gi + 1) * J - 1] for gi in range(G)]
-        res_i = jnp.asarray(key_res, jnp.int32)[:, None]  # (G, 1)
+        # Per-fetch keys under the collision-budget rule (class docstring);
+        # fetch lg covers levels [lg*Jg, (lg+1)*Jg) = span lg//split,
+        # sub-level window (lg%split)*Jg of the row.
+        key_lvls = self.fetch_key_levels()
+        fetch_spec = tuple(
+            (
+                lg // split,
+                (lg % split) * Jg,
+                Jg,
+                tuple(resolutions[lg * Jg + k] for k in range(Jg)),
+                key_lvls[lg] - lg * Jg,  # key's index within the window
+            )
+            for lg in range(LG)
+        )
+        key_res = [resolutions[l] for l in key_lvls]
+        res_i = jnp.asarray(key_res, jnp.int32)[:, None]  # (LG, 1)
         res_f = jnp.asarray(key_res, in_dtype)[:, None]
-        cx = jnp.floor(xs[None, :] * res_f).astype(jnp.int32)  # (G, n)
+        cx = jnp.floor(xs[None, :] * res_f).astype(jnp.int32)  # (LG, n)
         cy = jnp.floor(ys[None, :] * res_f).astype(jnp.int32)
         cz = jnp.floor(zs[None, :] * res_f).astype(jnp.int32)
         use_dense = res_i**3 <= T
-        group_offset = (jnp.arange(G, dtype=jnp.int32) * T)[:, None]
+        span_offset = (
+            (jnp.arange(LG, dtype=jnp.int32) // split) * T
+        )[:, None]
         dense_idx = (cx * res_i + cy) * res_i + cz
         h = (
             (cx.astype(jnp.uint32) * jnp.uint32(_PRIMES[0]))
@@ -564,23 +630,23 @@ class HashGridEncoderGrouped(nn.Module):
             ^ (cz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
         ) & jnp.uint32(T - 1)
         idx = jnp.where(use_dense, dense_idx & (T - 1), h.astype(jnp.int32))
-        idx = (idx + group_offset).reshape(-1)  # (G*n,) group-major
+        idx = (idx + span_offset).reshape(-1)  # (LG*n,) fetch-major
 
         out = hash_lookup_combine_pos(
             table_f32, idx,
             xs.astype(jnp.float32), ys.astype(jnp.float32),
             zs.astype(jnp.float32),
-            resolutions, F=F,
+            fetch_spec, F=F,
             compute_dtype=cdt, interpret=not on_tpu(),
-            level_span=T, n_groups=G,
+            level_span=T,
             grad_mode=("factor" if self.table_grad == "factor"
                        else "scatter"),
-        )  # (G*n, J*F)
-        # Per-group (n, J*F) blocks concatenated on features = level-major
+        )  # (LG*n, Jg*F)
+        # Per-fetch (n, Jg*F) blocks concatenated on features = level-major
         # (n, L*F) output, matching the tcnn feature ordering — no
         # minor-dim transpose is ever materialized.
         out = jnp.concatenate(
-            [out[gi * n : (gi + 1) * n] for gi in range(G)], axis=1
+            [out[lg * n : (lg + 1) * n] for lg in range(LG)], axis=1
         )
         return out.reshape(batch_shape + (L * F,))
 

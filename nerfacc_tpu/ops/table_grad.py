@@ -1246,30 +1246,38 @@ def _factor_kernel_pos(
     valid_ref,
     idx_hbm,  # (n_pad/128, 128) i32 in ANY
     pos_hbm,  # (4, n_payload) f32 positions (row 3 = pad), transposed, ANY
-    dout_hbm,  # (J*F, n_payload) dout rows, transposed, ANY
+    dout_hbm,  # (DPAD, n_payload) dout rows (DPAD >= Jg*F, bf16-tile pad), ANY
     out_ref,  # (W, 128) f32 block
     idx_vmem,  # scratch (CH/128, 128) i32
     pos_vmem,  # scratch (4, CH) f32
-    dout_vmem,  # scratch (J*F, CH)
+    dout_vmem,  # scratch (DPAD, CH)
     sems,  # DMA semaphores (3,)
     *,
     W: int,
     CH: int,
     F: int,
-    J: int,
-    RES: tuple,  # J per-sub-level resolutions (compile-time floats)
+    J: int,  # sub-levels per 128-lane row (the LAYOUT, 128 // (8*F))
+    J_LO: int,  # first ACTIVE sub-level of this fetch
+    JG: int,  # number of active sub-levels
+    KEY_K: int,  # window-relative index of the fetch's KEY sub-level
+    RES: tuple,  # JG active-sub-level resolutions (compile-time floats)
+    DPAD: int,  # dout rows incl. bf16 sublane-tile padding
 ):
-    """Grouped-row variant of :func:`_factor_kernel_u10` for the tcnn-shape
-    encoder (``models/hash_soa.py:HashGridEncoderGrouped``): one 128-lane
-    table row holds ``J`` sub-levels x 8 corners x ``F`` features (lane
-    ``l`` = corner ``l // (J*F)``, sub-level ``(l % (J*F)) // F``, feature
-    ``l % F``), and the backward carries the raw f32 sample POSITIONS
-    through the sort (3 operands) instead of ``J`` packed per-sub-level
-    weight words — all ``3*J`` fractional weights are recomputed here on
-    the VPU from the compile-time resolutions, bit-identical to the
-    forward's ``x*r - floor(x*r)``.  The cotangent tile keeps the existing
-    blocked rank-1 structure ``(W64 placed) * (dout placed)``: two 0/1
-    placement matmuls feeding the same windowed one-hot accumulation."""
+    """Grouped-row factor kernel for the tcnn-shape encoder
+    (``models/hash_soa.py:HashGridEncoderGrouped``): one 128-lane table
+    row holds ``J`` sub-levels x 8 corners x ``F`` features (lane ``l`` =
+    corner ``l // (J*F)``, sub-level ``(l % (J*F)) // F``, feature
+    ``l % F``), and a FETCH covers the active sub-level window
+    ``[J_LO, J_LO+JG)`` — split-key rows let two fetches with different
+    key grids share one row (disjoint lane sets), which is what gives the
+    encoder a fused-class multiresolution ladder at tcnn's parameter
+    count.  The backward carries the raw f32 sample POSITIONS through the
+    sort (3 operands) instead of packed per-sub-level weight words — all
+    fracs are recomputed here on the VPU from the compile-time
+    resolutions, bit-identical to the forward's ``x*r - floor(x*r)``.
+    Inactive lanes get ZERO cotangent via the placement matmuls.  The
+    cotangent tile keeps the blocked rank-1 structure
+    ``(W placed) * (dout placed)``."""
     s = pl.program_id(0)
     off = pl.multiple_of(off_ref[s], CH)
     row0 = pl.multiple_of(off // _LANE, CH // _LANE)
@@ -1292,16 +1300,24 @@ def _factor_kernel_pos(
 
     dt = dout_vmem.dtype
     JF = J * F
-    # Placement matmuls.  W64 rows are ordered [j][c]; lane l maps to
-    # corner c = l // JF and sub-level j = (l % JF) // F.
-    lE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * J), 0)
-    mE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * J), 1)
+    # Placement matmuls over the ACTIVE window.  W rows are ordered
+    # [j - J_LO][c]; lane l maps to corner c = l // JF and layout
+    # sub-level j = (l % JF) // F.  Out-of-window lanes match no row of
+    # either placement, so their cotangent is exactly zero.
+    lE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * JG), 0)
+    mE = jax.lax.broadcasted_iota(jnp.int32, (_LANE, 8 * JG), 1)
+    jjE = (lE % JF) // F
     Et = (
-        (((lE % JF) // F) * 8 + lE // JF) == mE
-    ).astype(dt)  # (128, 8J)
-    lT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, JF), 0)
-    tT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, JF), 1)
-    Tt = ((lT % JF) == tT).astype(dt)  # (128, JF)
+        ((jjE - J_LO) * 8 + lE // JF == mE)
+        & (jjE >= J_LO) & (jjE < J_LO + JG)
+    ).astype(dt)  # (128, 8*JG)
+    lT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, DPAD), 0)
+    tT = jax.lax.broadcasted_iota(jnp.int32, (_LANE, DPAD), 1)
+    jjT = (lT % JF) // F
+    Tt = (
+        ((jjT - J_LO) * F + lT % F == tT)
+        & (jjT >= J_LO) & (jjT < J_LO + JG)
+    ).astype(dt)  # (128, DPAD); columns >= JG*F never match
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (W, _LANE), 0)
     w0 = wid_ref[s] * W
@@ -1313,14 +1329,26 @@ def _factor_kernel_pos(
         y = pos_vmem[1, sl][None, :]
         z = pos_vmem[2, sl][None, :]
         w_rows = []
-        for j in range(J):
+        for j in range(JG):
             r = jnp.float32(RES[j])
             xl = x * r
             yl = y * r
             zl = z * r
-            wx = xl - jnp.floor(xl)
-            wy = yl - jnp.floor(yl)
-            wz = zl - jnp.floor(zl)
+            if j == KEY_K:
+                # The key sub-level's trilerp is cell-consistent
+                # (corner-fused semantics): true fracs.
+                wx = xl - jnp.floor(xl)
+                wy = yl - jnp.floor(yl)
+                wz = zl - jnp.floor(zl)
+            else:
+                # Non-key sub-levels: CONTINUOUS triangle-wave weights
+                # (a sawtooth frac would jump at their lattice planes
+                # while the features stay keyed elsewhere — measured
+                # +5.4 dB on the CPU convergence repro).
+                hx, hy, hz = xl * 0.5, yl * 0.5, zl * 0.5
+                wx = 1.0 - jnp.abs(2.0 * (hx - jnp.floor(hx)) - 1.0)
+                wy = 1.0 - jnp.abs(2.0 * (hy - jnp.floor(hy)) - 1.0)
+                wz = 1.0 - jnp.abs(2.0 * (hz - jnp.floor(hz)) - 1.0)
             w_rows.append(
                 jnp.concatenate(
                     [
@@ -1334,9 +1362,9 @@ def _factor_kernel_pos(
                     axis=0,
                 )
             )
-        W64 = jnp.concatenate(w_rows, axis=0).astype(dt)  # (8J, 128)
+        WJG = jnp.concatenate(w_rows, axis=0).astype(dt)  # (8*JG, 128)
         we = jax.lax.dot_general(
-            Et, W64,
+            Et, WJG,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -1363,40 +1391,57 @@ def _factor_kernel_pos(
         out_ref[:] = out_ref[:] + mm
 
 
+def _bf16_pad_rows(n: int) -> int:
+    """Sublane-tile-aligned row count for a bf16 (rows, n) HBM operand
+    (Mosaic: slices must be multiples of the (16, 128) bf16 tile)."""
+    return -(-n // 16) * 16
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_rows", "RES", "F", "J", "W", "CH", "interpret"),
+    static_argnames=(
+        "n_rows", "RES", "F", "J", "J_LO", "JG", "KEY_K", "W", "CH",
+        "interpret",
+    ),
 )
 def table_grad_factors_sorted_pos(
     sorted_idx: Array,  # (N,) i32, ascending, values in [0, n_rows]
     pos_sorted_t: Array,  # (3, N) f32 sample positions, transposed
-    dout_sorted_t: Array,  # (J*F, N) dout rows, transposed
+    dout_sorted_t: Array,  # (JG*F, N) dout rows, transposed
     *,
     n_rows: int,
     RES: tuple,
     F: int = 2,
     J: int = 8,
+    J_LO: int = 0,
+    JG: int = 8,
+    KEY_K: int = -1,
     W: int = 512,
     CH: int = 2048,
     interpret: bool = False,
 ) -> Array:
     """Positional grouped flavor of :func:`table_grad_factors_sorted_u10`
     (3 raw f32 position operands through the sort instead of per-sub-level
-    weight words; fracs recomputed in-kernel from compile-time ``RES``)."""
+    weight words; fracs recomputed in-kernel from compile-time ``RES``).
+    ``J_LO``/``JG`` select the active sub-level window of the 128-lane
+    row layout (split-key fetches)."""
     assert 8 * F * J == _LANE
-    assert len(RES) == J
+    assert len(RES) == JG and J_LO + JG <= J
     assert n_rows % W == 0 and CH % _LANE == 0
     assert pos_sorted_t.shape[0] == 3
-    assert dout_sorted_t.shape[0] == J * F
+    assert dout_sorted_t.shape[0] == JG * F
     n = sorted_idx.shape[0]
     n_pad = -(-(n + CH) // CH) * CH
     sorted_idx = jnp.concatenate(
         [sorted_idx, jnp.full((n_pad - n,), n_rows, jnp.int32)]
     )
     # Mosaic HBM->VMEM slices must be tile-aligned on the SUBLANE dim too
-    # (f32 tiling (4, 128): "Slice shape along dimension 0 must be aligned
-    # to tiling (4), but is 3" on device) — pad the position operand to 4
-    # rows; the kernel reads rows 0..2.
+    # (f32 tiling (4, 128), bf16 (16, 128): "Slice shape along dimension 0
+    # must be aligned to tiling" on device) — pad the position operand to
+    # 4 rows and the dout operand to a 16-row multiple; the kernel's
+    # placement matmul has zero columns for the pad rows.
+    DPAD = _bf16_pad_rows(JG * F) if dout_sorted_t.dtype == jnp.bfloat16 \
+        else -(-(JG * F) // 4) * 4
     pos_sorted_t = jnp.concatenate(
         [
             pos_sorted_t,
@@ -1404,6 +1449,17 @@ def table_grad_factors_sorted_pos(
         ],
         axis=0,
     )
+    if DPAD != JG * F:
+        dout_sorted_t = jnp.concatenate(
+            [
+                dout_sorted_t,
+                jnp.zeros(
+                    (DPAD - JG * F, dout_sorted_t.shape[1]),
+                    dout_sorted_t.dtype,
+                ),
+            ],
+            axis=0,
+        )
     if n % CH:
         pos_sorted_t = jnp.concatenate(
             [pos_sorted_t, jnp.zeros((4, n_pad - n), pos_sorted_t.dtype)],
@@ -1412,7 +1468,7 @@ def table_grad_factors_sorted_pos(
         dout_sorted_t = jnp.concatenate(
             [
                 dout_sorted_t,
-                jnp.zeros((J * F, n_pad - n), dout_sorted_t.dtype),
+                jnp.zeros((DPAD, n_pad - n), dout_sorted_t.dtype),
             ],
             axis=1,
         )
@@ -1424,7 +1480,8 @@ def table_grad_factors_sorted_pos(
     )
 
     kernel = functools.partial(
-        _factor_kernel_pos, W=W, CH=CH, F=F, J=J, RES=RES
+        _factor_kernel_pos, W=W, CH=CH, F=F, J=J, J_LO=J_LO, JG=JG,
+        KEY_K=KEY_K, RES=RES, DPAD=DPAD,
     )
     out = pl.pallas_call(
         kernel,
@@ -1442,16 +1499,16 @@ def table_grad_factors_sorted_pos(
             scratch_shapes=[
                 pltpu.VMEM((CH // _LANE, _LANE), jnp.int32),
                 pltpu.VMEM((4, CH), jnp.float32),
-                pltpu.VMEM((J * F, CH), dout_sorted_t.dtype),
+                pltpu.VMEM((DPAD, CH), dout_sorted_t.dtype),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_slots * CH * (W + 8 * J + 16) * _LANE,
+            flops=2 * n_slots * CH * (W + 8 * JG + DPAD) * _LANE,
             bytes_accessed=n_pad
-            * (16 + J * F * dout_sorted_t.dtype.itemsize)
+            * (16 + DPAD * dout_sorted_t.dtype.itemsize)
             + n_rows * _LANE * 4,
             transcendentals=0,
         ),
@@ -1472,18 +1529,20 @@ def _sized_lookup_combine_pos(
     compute_dtype_name: str,
     interpret: bool,
     level_span: int,
-    n_groups: int,
-    level_base: int,
-    resolutions: tuple,
+    fetch_spec: tuple,  # ((span, j_lo, jg, (res...)), ...) per fetch
     grad_mode: str,
 ):
     """custom_vjp for the GROUPED hash-row lookup+combine
-    (``HashGridEncoderGrouped``): ``out[g*n + i, j*F + f] =
-    sum_c w[i, g*J + j, c] * table[idx_{g*n+i}, c*J*F + j*F + f]`` where
-    the trilinear corner weights ``w`` come from each sub-level's own
-    resolution fracs of the shared sample position.  The table gradient
-    runs :func:`table_grad_factors_sorted_pos` (positions carried through
-    the sort, fracs recomputed in-kernel).
+    (``HashGridEncoderGrouped``): fetch ``fid`` gathers row
+    ``idx[fid*n + i]`` (an absolute row index, span offset included) and
+    combines lanes of its active sub-level window ``[j_lo, j_lo+jg)``:
+    ``out[fid*n + i, k*F + f] = sum_c w[i, j_lo+k, c] *
+    table[idx, c*J*F + (j_lo+k)*F + f]`` where the trilinear corner
+    weights come from each sub-level's own resolution fracs of the shared
+    sample position.  SPLIT-KEY rows: fetches with different key grids
+    may target the same span with disjoint windows — their gradients sum.
+    The table gradient runs :func:`table_grad_factors_sorted_pos`
+    (positions carried through the sort, fracs recomputed in-kernel).
 
     Same zero-positions-gradient contract as :func:`_sized_lookup_combine`
     — do NOT use where sample positions require gradients."""
@@ -1495,37 +1554,66 @@ def _sized_lookup_combine_pos(
     JF = J * F
     lane = np.arange(_LANE)
     c_of = lane // JF
-    res_np = np.asarray(resolutions, np.float32).reshape(n_groups, J)
+    j_of = (lane % JF) // F
+    f_of = lane % F
+    n_fetches = len(fetch_spec)
+    JG = fetch_spec[0][2]
+    assert all(fs[2] == JG for fs in fetch_spec)
 
     def plain(table, idx, xs, ys, zs):
         t = table if cdt is None else table.astype(cdt)
-        g = jnp.take(t, idx, axis=0)  # (G*n, 128)
+        g = jnp.take(t, idx, axis=0)  # (n_fetches*n, 128)
         n = xs.shape[0]
         bx = jnp.asarray((c_of >> 2) & 1, jnp.int32)
         by = jnp.asarray((c_of >> 1) & 1, jnp.int32)
         bz = jnp.asarray(c_of & 1, jnp.int32)
-        # One-hot lane->feature reduction on the MXU: the einsum
-        # alternative reshapes (n, 128) to (n, 8, JF) whose (8, JF) minor
-        # dims tile-pad up to 16x (the flagship einsum form has a 16-wide
-        # feature minor and measured fine; JF here is 16 too but the
-        # corner axis lands mid-tensor).  A plain ``.sum`` variant is kept
-        # via NERFACC_GCOMBINE for device A/B.
-        S = (
-            (lane[:, None] % JF) == np.arange(JF)[None, :]
-        ).astype(np.float32)
-        Sc = jnp.asarray(S, g.dtype)
         outs = []
-        for gi in range(n_groups):
-            res_g = jnp.asarray(res_np[gi])  # (J,) f32
-            xl = xs[:, None] * res_g[None, :]  # (n, J) f32
+        for fid, fs in enumerate(fetch_spec):
+            (_, j_lo, jg, res_fs) = fs[:4]
+            key_k = fs[4] if len(fs) > 4 else None
+            active = (j_of >= j_lo) & (j_of < j_lo + jg)
+            # One-hot lane->feature reduction on the MXU (inactive lanes
+            # map to no output column).
+            S = (
+                (active[:, None])
+                & (((j_of - j_lo) * F + f_of)[:, None]
+                   == np.arange(jg * F)[None, :])
+            ).astype(np.float32)
+            Sc = jnp.asarray(S, g.dtype)
+            res_g = jnp.asarray(res_fs, jnp.float32)  # (jg,)
+            xl = xs[:, None] * res_g[None, :]  # (n, jg) f32
             yl = ys[:, None] * res_g[None, :]
             zl = zs[:, None] * res_g[None, :]
             fx = xl - jnp.floor(xl)
             fy = yl - jnp.floor(yl)
             fz = zl - jnp.floor(zl)
+            if os.environ.get("NERFACC_GROUPED_WB", "tri") == "tri":
+                # CONTINUOUS periodic weights for non-key sub-levels: a
+                # sawtooth frac makes every non-key sub-level's
+                # contribution jump at its own lattice planes (features
+                # are keyed elsewhere, so nothing cancels the jump) — a
+                # triangle wave (distance-to-even-lattice) is the C0
+                # replacement.  The KEY sub-level keeps true fracs: its
+                # features change WITH its cells (corner-fused
+                # semantics), so its trilerp is already consistent.
+                kk_key = key_k if key_k is not None else -1
+                def tri(t):
+                    h = t * 0.5
+                    return 1.0 - jnp.abs(2.0 * (h - jnp.floor(h)) - 1.0)
+                sel = jnp.asarray(
+                    [1.0 if k == kk_key else 0.0 for k in range(jg)],
+                    jnp.float32,
+                )[None, :]
+                fx = sel * fx + (1 - sel) * tri(xl)
+                fy = sel * fy + (1 - sel) * tri(yl)
+                fz = sel * fz + (1 - sel) * tri(zl)
 
-            def lanes(f):  # (n, J) -> (n, 128): repeat F, tile 8 corners
-                return jnp.tile(jnp.repeat(f, F, axis=1), (1, 8))
+            def lanes(fr):
+                # (n, jg) -> (n, 128): place sub-level k's frac on every
+                # lane whose layout sub-level is j_lo + k (inactive lanes
+                # get an arbitrary in-range frac; S zeroes them).
+                kk = np.clip(j_of - j_lo, 0, jg - 1)
+                return fr[:, kk]
 
             fxl, fyl, fzl = lanes(fx), lanes(fy), lanes(fz)
             mask = (
@@ -1533,10 +1621,14 @@ def _sized_lookup_combine_pos(
                 * jnp.where(by == 1, fyl, 1.0 - fyl)
                 * jnp.where(bz == 1, fzl, 1.0 - fzl)
             )
-            gg = g[gi * n : (gi + 1) * n]
+            gg = g[fid * n : (fid + 1) * n]
             prod = gg * mask.astype(gg.dtype)
             if os.environ.get("NERFACC_GCOMBINE", "mxu") == "sum":
-                out = prod.reshape(n, 8, JF).sum(axis=1)
+                out = (
+                    prod * jnp.asarray(active, prod.dtype)
+                ).reshape(n, 8, JF).sum(axis=1)[
+                    :, j_lo * F : (j_lo + jg) * F
+                ]
             else:
                 out = jax.lax.dot_general(
                     prod, Sc,
@@ -1544,10 +1636,11 @@ def _sized_lookup_combine_pos(
                     preferred_element_type=jnp.float32,
                 ).astype(gg.dtype)
             outs.append(out)
-        return jnp.concatenate(outs, axis=0)  # (G*n, JF)
+        return jnp.concatenate(outs, axis=0)  # (n_fetches*n, jg*F)
 
     fdt = jnp.bfloat16 if cdt is not None else jnp.float32
-    if W is None or grad_mode != "factor" or fdt != jnp.bfloat16 or JF % 2:
+    if W is None or grad_mode != "factor" or fdt != jnp.bfloat16 \
+            or (JG * F) % 2:
         # f32 compute keeps the autodiff scatter (bf16 dout columns would
         # silently halve the full-precision payload), as does an odd
         # payload width (no bf16 pairing).
@@ -1563,51 +1656,56 @@ def _sized_lookup_combine_pos(
     def bwd(res_, dout):
         idx, xs, ys, zs = res_
         n = xs.shape[0]
+        JgF = JG * F
         px = jax.lax.bitcast_convert_type(xs.astype(jnp.float32), jnp.int32)
         py = jax.lax.bitcast_convert_type(ys.astype(jnp.float32), jnp.int32)
         pz = jax.lax.bitcast_convert_type(zs.astype(jnp.float32), jnp.int32)
         dcols = jax.lax.bitcast_convert_type(
-            dout.astype(jnp.bfloat16).reshape(idx.shape[0], JF // 2, 2),
+            dout.astype(jnp.bfloat16).reshape(idx.shape[0], JgF // 2, 2),
             jnp.int32,
-        )  # (G*n, JF/2)
-        parts = []
-        for gi in range(n_groups):
-            base = (level_base + gi) * span if level_span else 0
-            sl = slice(gi * n, (gi + 1) * n)
+        )  # (n_fetches*n, JgF/2)
+        n_spans = n_rows // span
+        span_parts = [[] for _ in range(n_spans)]
+        for fid, fs in enumerate(fetch_spec):
+            (sp, j_lo, jg, res_fs) = fs[:4]
+            key_k = fs[4] if len(fs) > 4 else -1
+            sl = slice(fid * n, (fid + 1) * n)
             sorted_ops = jax.lax.sort(
-                (idx[sl] - base, px, py, pz)
-                + tuple(dcols[sl, c] for c in range(JF // 2)),
+                (idx[sl] - sp * span, px, py, pz)
+                + tuple(dcols[sl, c] for c in range(JgF // 2)),
                 num_keys=1,
             )
             pos_t = jax.lax.bitcast_convert_type(
                 jnp.stack(sorted_ops[1:4], axis=0), jnp.float32
             )  # (3, n)
             dout_t = _unpack_bf16_pairs_t(
-                jnp.stack(sorted_ops[4:], axis=0), JF
+                jnp.stack(sorted_ops[4:], axis=0), JgF
             )
-            parts.append(
+            span_parts[sp].append(
                 table_grad_factors_sorted_pos(
                     sorted_ops[0], pos_t, dout_t,
-                    n_rows=span, RES=tuple(res_np[gi].tolist()),
-                    F=F, J=J, W=W, interpret=interpret,
+                    n_rows=span, RES=tuple(res_fs),
+                    F=F, J=J, J_LO=j_lo, JG=jg, KEY_K=key_k, W=W,
+                    interpret=interpret,
                 )
             )
-        block = (
-            parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        blocks = []
+        for sp in range(n_spans):
+            parts = span_parts[sp]
+            if not parts:
+                blocks.append(jnp.zeros((span, _LANE), jnp.float32))
+            elif len(parts) == 1:
+                blocks.append(parts[0])
+            else:
+                # Split-key fetches write DISJOINT lane sets of the same
+                # span — the sum is exact lane-wise assembly.
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = acc + p
+                blocks.append(acc)
+        dtable = blocks[0] if len(blocks) == 1 else jnp.concatenate(
+            blocks, axis=0
         )
-        lo = level_base * span if level_span else 0
-        hi = lo + n_groups * span
-        if lo == 0 and hi == n_rows:
-            dtable = block
-        else:
-            dtable = jnp.concatenate(
-                [
-                    jnp.zeros((lo, _LANE), jnp.float32),
-                    block,
-                    jnp.zeros((n_rows - hi, _LANE), jnp.float32),
-                ],
-                axis=0,
-            )
         return (
             dtable,
             None,
@@ -1621,35 +1719,39 @@ def _sized_lookup_combine_pos(
 
 
 def hash_lookup_combine_pos(
-    table: Array,  # (n_groups*span, 128) f32 master table
-    idx: Array,  # (n_groups*n,) i32, group-major
+    table: Array,  # (n_spans*span, 128) f32 master table
+    idx: Array,  # (n_fetches*n,) i32, fetch-major, ABSOLUTE row indices
     xs: Array,  # (n,) f32 sample positions in encoder [0,1] coords
     ys: Array,
     zs: Array,
-    resolutions,  # length n_groups*J sequence of per-level resolutions
+    fetch_spec,  # ((span_idx, j_lo, jg, (res...)), ...) per fetch
     F: int = 2,
     compute_dtype=None,
     interpret: bool = False,
     level_span: int = 0,
-    n_groups: int = 1,
-    level_base: int = 0,
     grad_mode: str = "factor",
 ) -> Array:
     """Grouped fused gather + multi-sub-level trilinear combine for the
-    tcnn-shape encoder: one gather serves ``J = 128 // (8*F)`` levels.
-    Returns ``(n_groups*n, J*F)``.  ``grad_mode="factor"`` routes the
+    tcnn-shape encoder: each fetch serves ``jg`` levels from one 128-lane
+    row; split-key fetches share a span with disjoint lane windows.
+    Returns ``(n_fetches*n, jg*F)``.  ``grad_mode="factor"`` routes the
     table gradient through the positional sorted Pallas reduction (zero
     gradient to positions BY CONTRACT); ``"scatter"`` keeps autodiff."""
     assert table.ndim == 2 and table.shape[1] == _LANE
     J = _LANE // (8 * F)
     assert 8 * F * J == _LANE
-    assert idx.shape[0] == n_groups * xs.shape[0]
-    assert len(resolutions) == n_groups * J
+    n_fetches = len(fetch_spec)
+    assert idx.shape[0] == n_fetches * xs.shape[0]
     name = "none" if compute_dtype is None else jnp.dtype(compute_dtype).name
+    spec = tuple(
+        (int(fs[0]), int(fs[1]), int(fs[2]),
+         tuple(float(r) for r in fs[3]))
+        + ((int(fs[4]),) if len(fs) > 4 else ())
+        for fs in fetch_spec
+    )
     return _sized_lookup_combine_pos(
         int(table.shape[0]), int(F), int(J), name, interpret,
-        int(level_span), int(n_groups), int(level_base),
-        tuple(float(r) for r in resolutions), grad_mode,
+        int(level_span), spec, grad_mode,
     )(table, idx, xs, ys, zs)
 
 

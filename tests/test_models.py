@@ -746,20 +746,32 @@ def test_fused_factor_lanes_unpack_matches_t3(monkeypatch):
     jax.clear_caches()
 
 
-def _grouped_oracle(table, x, n_levels, F, T, resolutions):
-    """Independent numpy oracle for HashGridEncoderGrouped: per level
-    l = g*J + j, features come from lanes [c*(J*F) + j*F + f] of the row
-    keyed by the GROUP'S FINEST level's cell, weighted by trilinear fracs
-    at level l's own resolution."""
+def _grouped_oracle(table, x, n_levels, F, T, resolutions, key_levels,
+                    split):
+    """Independent numpy oracle for HashGridEncoderGrouped (split-key
+    rows): fetch lg covers levels [lg*Jg, (lg+1)*Jg) = row-sub-level
+    window (lg % split)*Jg of span lg // split; level l's features come
+    from lanes [c*(J*F) + j*F + f] of the row keyed by the fetch's KEY
+    level cell; weights are true trilinear fracs at the KEY level and
+    continuous triangle waves at every other sub-level."""
     primes = (1, 2654435761, 805459861)
     J = 128 // (8 * F)
-    G = n_levels // J
+    Jg = J // split
+    LG = n_levels // Jg
     n = x.shape[0]
     out = np.zeros((n, n_levels * F), np.float64)
     tab = np.asarray(table, np.float64)
+
+    def tri(t):
+        h = t * 0.5
+        return 1.0 - np.abs(2.0 * (h - np.floor(h)) - 1.0)
+
     for i in range(n):
-        for g in range(G):
-            rk = resolutions[(g + 1) * J - 1]
+        for lg in range(LG):
+            span = lg // split
+            j_lo = (lg % split) * Jg
+            kl = key_levels[lg]
+            rk = resolutions[kl]
             c = np.floor(x[i] * rk).astype(np.int64)
             if (rk**3) <= T:
                 idx = int((c[0] * rk + c[1]) * rk + c[2]) & (T - 1)
@@ -770,27 +782,36 @@ def _grouped_oracle(table, x, n_levels, F, T, resolutions):
                     ^ (np.uint32(c[2]) * np.uint32(primes[2]))
                 ) & np.uint32(T - 1)
                 idx = int(h)
-            row = tab[g * T + idx]
-            for j in range(J):
-                lvl = g * J + j
+            row = tab[span * T + idx]
+            for k in range(Jg):
+                lvl = lg * Jg + k
+                j = j_lo + k
                 r = resolutions[lvl]
-                f3 = x[i] * r - np.floor(x[i] * r)
+                if lvl == kl:
+                    f3 = x[i] * r - np.floor(x[i] * r)
+                else:
+                    f3 = tri(x[i] * r)
                 for corner in range(8):
-                    dx, dy, dz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+                    dx, dy, dz = (
+                        (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+                    )
                     w = (
                         (f3[0] if dx else 1 - f3[0])
                         * (f3[1] if dy else 1 - f3[1])
                         * (f3[2] if dz else 1 - f3[2])
                     )
                     for f in range(F):
-                        out[i, lvl * F + f] += w * row[corner * J * F + j * F + f]
+                        out[i, lvl * F + f] += (
+                            w * row[corner * J * F + j * F + f]
+                        )
     return out
 
 
 def test_grouped_encoder_matches_numpy_oracle():
     """The grouped encoder's f32 path must agree with a from-scratch
-    numpy implementation of its parameterization (key hashing, lane
-    layout, per-sub-level trilinear weights)."""
+    numpy implementation of its parameterization (split-key row fetches,
+    collision-budget key rule, key-frac/non-key-triangle weights, lane
+    layout)."""
     from nerfacc_tpu.models.hash_soa import (
         HashGridEncoderGrouped,
         grid_resolutions,
@@ -807,9 +828,19 @@ def test_grouped_encoder_matches_numpy_oracle():
     y = np.asarray(enc.apply(params, jnp.asarray(x)))
 
     table = np.asarray(params["params"]["table"], np.float64) - 1e-4
+    # Key rule cross-check at T=2^9, cap 16 (8192 cells), split 4
+    # (windows of 2 levels): res ladder [16, 19, 23, 27, 33, 40, 48, 58,
+    # 70, 84, 101, 122, 147, 176, 212, 255] -> finest level per window
+    # within budget: 1 (20^3=8000), 3 (13824 > 8192 -> 27? 28^3=21952 >
+    # -> falls to... see computed), rest fall back to window-finest.
+    keys = enc.fetch_key_levels()
+    assert len(keys) == 8 and keys[0] == 1
+    assert all(
+        keys[w] in range(w * 2, w * 2 + 2) for w in range(8)
+    )
     want = _grouped_oracle(
         table, x.astype(np.float64), L, F, 1 << log2T,
-        grid_resolutions(L, 16, 256),
+        grid_resolutions(L, 16, 256), keys, split=4,
     )
     np.testing.assert_allclose(y, want, atol=1e-5)
 
