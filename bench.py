@@ -209,9 +209,13 @@ def throughput_phase():
         )
         # SoA probe positions (device A/B r5: fused occ-update 34.8 vs
         # 35.6-36.2 ms) — only the fused/grouped encoders accept tuples.
+        # BENCH_OCC_SOA=0 forces the (n, 3) path for A/B.
         return estimator._update(
             occ_state, step=10**9, occ_eval_fn=occ_eval_fn, key=key,
-            soa_positions=encoder_type in ("fused", "grouped"),
+            soa_positions=(
+                os.environ.get("BENCH_OCC_SOA", "1") == "1"
+                and encoder_type in ("fused", "grouped")
+            ),
         )
 
     # Warmup / compile.
@@ -384,8 +388,11 @@ class _QualityRun:
             return estimator._update(
                 occ_state, step=0 if warmup else 10**9,
                 occ_eval_fn=occ_eval_fn, key=key, warmup_steps=1,
-                soa_positions=encoder_cfg.get("encoder_type", "fused")
-                in ("fused", "grouped"),
+                soa_positions=(
+                    os.environ.get("BENCH_OCC_SOA", "1") == "1"
+                    and encoder_cfg.get("encoder_type", "fused")
+                    in ("fused", "grouped")
+                ),
             )
 
         # Scale the eval chunk down for the scalar-parity encoders: their
