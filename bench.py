@@ -895,6 +895,31 @@ def child_main():
             "step_ms": out["step_ms"],
             "occ_update_ms": out["occ_update_ms"],
         }
+        # Phase hygiene: drop the throughput phase's device buffers and
+        # compiled executables before the quality runs (leftover HBM
+        # pressure / allocator state is the prime suspect for the round-5
+        # quality-phase slowdown — the same _QualityRun steps at 41.7 ms
+        # standalone but ~208 ms inside the full bench).
+        import gc
+
+        gc.collect()
+        arrs = jax.live_arrays()
+        tot = sum(a.nbytes for a in arrs)
+        print(
+            f"[mem] live device arrays after throughput: {len(arrs)}, "
+            f"{tot / 1e9:.2f} GB",
+            file=sys.stderr, flush=True,
+        )
+        if os.environ.get("BENCH_PHASE_CLEAR", "1") == "1":
+            jax.clear_caches()
+            gc.collect()
+            arrs = jax.live_arrays()
+            tot = sum(a.nbytes for a in arrs)
+            print(
+                f"[mem] after clear_caches+gc: {len(arrs)} arrays, "
+                f"{tot / 1e9:.2f} GB",
+                file=sys.stderr, flush=True,
+            )
     else:  # quality-only debug runs (BENCH_THROUGHPUT=0)
         record = {"metric": "ngp_occ_train_samples_per_sec", "value": 0.0,
                   "unit": "quality-only run", "vs_baseline": 0.0}

@@ -97,6 +97,26 @@ def _unpack_bf16_pairs_t(cols_i32: Array, n_rows_out: int) -> Array:
     )
 
 
+def _unpack_f8_quads_t(cols_i32: Array, n_rows_out: int) -> Array:
+    """(C, n) i32 quad columns -> (4C, n) bf16 rows, where column c packs
+    dout features 4c..4c+3 as float8_e5m2 bytes (little-endian: feature
+    4c+b in bits 8b..8b+7).  The u10f8 carry's post-sort unpack — pure
+    elementwise shift/mask (same no-relayout property as the "lanes"
+    bf16 unpack)."""
+    C, n = cols_i32.shape
+    assert n_rows_out == 4 * C
+    rows = []
+    for c in range(C):
+        x = cols_i32[c]
+        for b in range(4):
+            byte = ((x >> (8 * b)) & 0xFF).astype(jnp.uint8)
+            rows.append(
+                jax.lax.bitcast_convert_type(byte, jnp.float8_e5m2)
+                .astype(jnp.bfloat16)
+            )
+    return jnp.stack(rows, axis=0)
+
+
 def _window_candidates():
     """Window sizes tried largest-first; NERFACC_TGRAD_W pins one.
 
@@ -1081,8 +1101,8 @@ def _sized_lookup_combine3(
                 jnp.zeros_like(wz),
             )
 
-        if (os.environ.get("NERFACC_FACTOR_PACK", "u10") == "u10"
-                and fdt == jnp.bfloat16):
+        fpack = os.environ.get("NERFACC_FACTOR_PACK", "u10")
+        if fpack in ("u10", "u10f8") and fdt == jnp.bfloat16:
             # (f32 compute keeps the w3 path below — u10's bf16 dout
             # columns would silently halve the full-precision payload.)
             # u10 movement: quantize (wx,wy,wz) to 10-bit fixed point in
@@ -1100,10 +1120,32 @@ def _sized_lookup_combine3(
                 ).astype(jnp.int32)
 
             wq = (q10(wx) << 20) | (q10(wy) << 10) | q10(wz)
-            dcols = jax.lax.bitcast_convert_type(
-                dout.astype(jnp.bfloat16).reshape(idx.shape[0], F // 2, 2),
-                jnp.int32,
-            )  # (N, F/2)
+            if fpack == "u10f8":
+                # f8 dout carry: quantize the cotangent rows to
+                # float8_e5m2 for the SORT ONLY (4 features per i32
+                # column — key + wq + F/4 payload operands instead of
+                # u10's F/2; at F=16 that is 6 sort operands vs 10).
+                # e5m2 keeps bf16's exponent range (no scale factor
+                # needed); the cost is 2 mantissa bits on a gradient
+                # that Adam renormalizes and training noise dominates —
+                # the 33 dB bench gate is the acceptance test.
+                assert F % 4 == 0
+                dcols = jax.lax.bitcast_convert_type(
+                    dout.astype(jnp.float8_e5m2).reshape(
+                        idx.shape[0], F // 4, 4
+                    ),
+                    jnp.int32,
+                )  # (N, F/4)
+                _unpack_dout = _unpack_f8_quads_t
+            else:
+                dcols = jax.lax.bitcast_convert_type(
+                    dout.astype(jnp.bfloat16).reshape(
+                        idx.shape[0], F // 2, 2
+                    ),
+                    jnp.int32,
+                )  # (N, F/2)
+                _unpack_dout = _unpack_bf16_pairs_t
+            n_dcols = dcols.shape[1]
             # NERFACC_FACTOR_BATCH=1: ONE sort + ONE kernel across all
             # levels instead of nlv separate ones.  The keys are already
             # globally unique (each level's ids live in its own
@@ -1117,11 +1159,11 @@ def _sized_lookup_combine3(
                 base0 = level_base * spn if level_span else 0
                 sorted_ops = jax.lax.sort(
                     (idx - base0, wq)
-                    + tuple(dcols[:, c] for c in range(F // 2)),
+                    + tuple(dcols[:, c] for c in range(n_dcols)),
                     num_keys=1,
                 )
-                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, N) i32
-                dout_t = _unpack_bf16_pairs_t(dt_s, F)
+                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (n_dcols, N) i32
+                dout_t = _unpack_dout(dt_s, F)
                 return _assemble([
                     table_grad_factors_sorted_u10(
                         sorted_ops[0], sorted_ops[1], dout_t,
@@ -1134,7 +1176,7 @@ def _sized_lookup_combine3(
                 sl = slice(j * m, (j + 1) * m)
                 sorted_ops = jax.lax.sort(
                     (idx[sl] - base, wq[sl])
-                    + tuple(dcols[sl, c] for c in range(F // 2)),
+                    + tuple(dcols[sl, c] for c in range(n_dcols)),
                     num_keys=1,
                 )
                 # MEASURED NEGATIVE (round-4 device A/B, 40.9 vs 38.86
@@ -1144,8 +1186,8 @@ def _sized_lookup_combine3(
                 # unpack despite its 2-minor-layout padding — the kernel's
                 # per-tile critical path grew by more than the 2.6 ms of
                 # copies it saved.  Keep the host unpack.
-                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (F/2, m) i32
-                dout_t = _unpack_bf16_pairs_t(dt_s, F)
+                dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (n_dcols, m) i32
+                dout_t = _unpack_dout(dt_s, F)
                 parts.append(
                     table_grad_factors_sorted_u10(
                         sorted_ops[0], sorted_ops[1], dout_t,
