@@ -472,27 +472,50 @@ class _QualityRun:
         _ = self.eval_psnr()
 
     def train(self, n_steps: int):
-        """Advance ``n_steps`` training steps (timed, no evals inside)."""
+        """Advance ``n_steps`` training steps (timed, no evals inside).
+
+        BENCH_Q_TIMERS=1 prints a host-side attribution per chunk: time
+        inside occ-update dispatch, dataset fetch, train-step dispatch,
+        and the final device block — the four places a step can lose
+        wall-clock (used to hunt the round-5 in-bench slowdown)."""
         jax = self.jax
+        timers = os.environ.get("BENCH_Q_TIMERS") == "1"
+        t_occ = t_fetch = t_disp = 0.0
         t0 = time.perf_counter()
         for _ in range(n_steps):
             step = self.step
             if step % 16 == 0:
+                t1 = time.perf_counter()
                 self.key, sub = jax.random.split(self.key)
                 self.occ_state = self._occ_update(
                     self.occ_state, self.params, sub, warmup=step < 256
                 )
+                t_occ += time.perf_counter() - t1
+            t1 = time.perf_counter()
             batch = self.train_ds[step % len(self.train_ds)]
+            t2 = time.perf_counter()
+            t_fetch += t2 - t1
             self.key, sub = jax.random.split(self.key)
             self.params, self.opt_state, _, n_samp = self._train_step(
                 self.params, self.opt_state, self.occ_state,
                 batch["rays"].origins, batch["rays"].viewdirs,
                 batch["pixels"], batch["color_bkgd"], sub,
             )
+            t_disp += time.perf_counter() - t2
             self._n_samps.append(n_samp)
             self.step += 1
+        t1 = time.perf_counter()
         jax.block_until_ready(self.params)
-        self.train_elapsed += time.perf_counter() - t0
+        t_end = time.perf_counter()
+        if timers:
+            print(
+                f"  [timers {self.tag}] {n_steps} steps: "
+                f"occ {t_occ:.2f}s fetch {t_fetch:.2f}s "
+                f"dispatch {t_disp:.2f}s block {t_end - t1:.2f}s "
+                f"total {t_end - t0:.2f}s",
+                file=sys.stderr, flush=True,
+            )
+        self.train_elapsed += t_end - t0
 
     def samples_per_sec(self):
         """Samples/s measured INSIDE this converging run (train-time only,
