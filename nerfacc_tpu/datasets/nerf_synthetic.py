@@ -169,12 +169,13 @@ class SubjectLoader:
                     self._last_image_id = self._native_image_ids(
                         seed, num_rays
                     )
+                    # Host arrays out: the jit boundary transfers them in
+                    # one batch; a per-field jnp.asarray here would cost
+                    # one tunnel RPC per field per fetch.
                     return {
-                        "rays": Rays(
-                            origins=jnp.asarray(o), viewdirs=jnp.asarray(d)
-                        ),
-                        "pixels": jnp.asarray(pix),
-                        "color_bkgd": jnp.asarray(color_bkgd),
+                        "rays": Rays(origins=o, viewdirs=d),
+                        "pixels": pix,
+                        "color_bkgd": color_bkgd,
                     }
 
         if self.training:
@@ -225,8 +226,9 @@ class SubjectLoader:
                 viewdirs=rays.viewdirs.reshape(self.HEIGHT, self.WIDTH, 3),
             )
 
+        # Host arrays out (see the native-path note above).
         return {
             "rays": rays,
-            "pixels": jnp.asarray(pixels),
-            "color_bkgd": jnp.asarray(color_bkgd),
+            "pixels": pixels,
+            "color_bkgd": color_bkgd,
         }
