@@ -523,6 +523,12 @@ class _QualityRun:
         wall-clock (used to hunt the round-5 in-bench slowdown)."""
         jax, np = self.jax, self.np
         timers = os.environ.get("BENCH_Q_TIMERS") == "1"
+        profile = os.environ.get("BENCH_Q_PROFILE") == "1"
+        prof = None
+        if profile:
+            import cProfile
+
+            prof = cProfile.Profile()
         t_occ = t_fetch = t_disp = 0.0
         t0 = time.perf_counter()
         done = 0
@@ -541,6 +547,8 @@ class _QualityRun:
                 # Fused block: k fetches stacked on host, ONE dispatch.
                 # k divides 16, so no occ update falls inside the block.
                 t1 = time.perf_counter()
+                if prof is not None:
+                    prof.enable()
                 bs = [
                     self.train_ds[(step + j) % n_views] for j in range(k)
                 ]
@@ -548,6 +556,8 @@ class _QualityRun:
                 rd = np.stack([np.asarray(b["rays"].viewdirs) for b in bs])
                 px = np.stack([np.asarray(b["pixels"]) for b in bs])
                 bk = np.stack([np.asarray(b["color_bkgd"]) for b in bs])
+                if prof is not None:
+                    prof.disable()
                 t2 = time.perf_counter()
                 t_fetch += t2 - t1
                 keys = jax.random.split(self.key, k + 1)
@@ -586,6 +596,15 @@ class _QualityRun:
                 f"total {t_end - t0:.2f}s",
                 file=sys.stderr, flush=True,
             )
+        if prof is not None:
+            import io
+            import pstats
+
+            s = io.StringIO()
+            pstats.Stats(prof, stream=s).sort_stats(
+                "cumulative"
+            ).print_stats(15)
+            print(s.getvalue()[:3500], file=sys.stderr, flush=True)
         self.train_elapsed += t_end - t0
 
     def samples_per_sec(self):
