@@ -15,6 +15,7 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_COPY_WARNED = False
 
 
 def _find_lib():
@@ -74,7 +75,21 @@ def sample_rays(
     lib = get_lib()
     if lib is None:
         return None
-    images = np.ascontiguousarray(images)
+    images2 = np.ascontiguousarray(images)
+    global _COPY_WARNED
+    if images2 is not images and not _COPY_WARNED:
+        # A per-call copy of the whole image stack (~92 MB at 36x800x800)
+        # silently costs ~160 ms/fetch — surface it once so the caller
+        # can materialize a contiguous host array up front.
+        _COPY_WARNED = True
+        import sys
+
+        print(
+            f"[rayforge] per-call image copy: type={type(images).__name__}"
+            f" dtype={getattr(images, 'dtype', None)}",
+            file=sys.stderr, flush=True,
+        )
+    images = images2
     c2w34 = np.ascontiguousarray(c2w[:, :3, :4], np.float32).reshape(-1, 12)
     Kf = np.ascontiguousarray(K, np.float32).reshape(9)
     bk = np.ascontiguousarray(bkgd, np.float32)

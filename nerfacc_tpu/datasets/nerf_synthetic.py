@@ -96,6 +96,12 @@ class SubjectLoader:
             self.images, self.camtoworlds, self.focal = _load_renderings(
                 root_fp, subject_id, split
             )
+        # Materialize as contiguous HOST memory once: the native sampler
+        # (and numpy fancy indexing) otherwise re-copies ~92 MB per fetch
+        # if handed a non-contiguous or device-backed array — measured as
+        # 160 ms/fetch inside the round-5 bench (np.ascontiguousarray was
+        # 32.3 s of a 35 s / 200-step training chunk).
+        self.images = np.ascontiguousarray(np.asarray(self.images))
         self.HEIGHT, self.WIDTH = self.images.shape[1:3]
         self.K = np.array(
             [
