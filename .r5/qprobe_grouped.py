@@ -47,11 +47,17 @@ ENVS = {
     "split8": {"NERFACC_GROUPED_SPLIT": "8"},
     "keycap0": {"NERFACC_GROUPED_KEYCAP": "0"},
     "f32": {"BENCH_DTYPE": "f32"},
+    "f32cap0": {"BENCH_DTYPE": "f32", "NERFACC_GROUPED_KEYCAP": "0"},
+    "cap0split8": {
+        "NERFACC_GROUPED_KEYCAP": "0", "NERFACC_GROUPED_SPLIT": "8",
+    },
     "saw": {"NERFACC_GROUPED_WB": "saw"},
 }
 STEPS = int(os.environ.get("QPROBE_STEPS", "400"))
 
-for arm in ARMS:
+for arm_spec in ARMS:
+    arm, _, n_str = arm_spec.partition(":")
+    arm_steps = int(n_str) if n_str else STEPS
     env = ENVS[arm]
     saved = {}
     for k, v in env.items():
@@ -62,8 +68,8 @@ for arm in ARMS:
         run = bench._QualityRun(train_ds, test_ds, cfg, tag=arm)
         run.compile()
         print(f"{arm}: compile {time.perf_counter()-t0:.0f}s", flush=True)
-        while run.step < STEPS:
-            run.train(min(100, STEPS - run.step))
+        while run.step < arm_steps:
+            run.train(min(100, arm_steps - run.step))
             psnr = run.eval_psnr()
             print(
                 f"{arm}: step={run.step} psnr={psnr:.2f} "
