@@ -64,6 +64,12 @@ for arm_spec in ARMS:
         saved[k] = os.environ.get(k)
         os.environ[k] = v
     try:
+        import numpy as _np
+
+        # Same batch sequence for every arm: the loader RNG is stateful
+        # across arms and batch-sequence variance is ±5 dB at step 400
+        # (keycap0 measured 28.28 then 23.37 on identical configs).
+        train_ds._rng = _np.random.default_rng(0)
         t0 = time.perf_counter()
         run = bench._QualityRun(train_ds, test_ds, cfg, tag=arm)
         run.compile()
