@@ -824,6 +824,29 @@ def table_grad_factors_sorted_u10(
     return out
 
 
+def _slice_combine(g, wlist, F):
+    """Row-major corner combine: ``out[k, f] = sum_c w_c[k] * g[k, c*F+f]``.
+
+    One loop fusion of 8 lane slices over the gather output in its NATIVE
+    row-major layout.  The einsum form of the same contraction makes XLA
+    relayout the (N, 8F) gather output to column-major first (trace:
+    copy.216 = 1.58 ms/train-step, copy.9 = 3.15 ms/occ-update at the
+    flagship shape) because the batched 8xF dot wants samples on lanes;
+    slicing + broadcast-multiply keeps the whole combine in the gather's
+    layout and the relayout disappears.  Unlike the round-4 ``mxu``
+    attempt this never materializes an (N, 128) weight tensor — each
+    corner weight stays a (N, 1) broadcast inside the fusion.
+    Accumulates in f32, returns the gather dtype.
+    """
+    acc = None
+    for c, wc in enumerate(wlist):
+        term = wc[:, None].astype(jnp.float32) * jax.lax.slice_in_dim(
+            g, c * F, (c + 1) * F, axis=1
+        ).astype(jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc.astype(g.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def _sized_lookup_combine(
     n_rows: int,
@@ -855,6 +878,8 @@ def _sized_lookup_combine(
     def plain(table, idx, w):
         t = (table if cdt is None else table.astype(cdt))
         g = jnp.take(t, idx, axis=0)
+        if os.environ.get("NERFACC_COMBINE", "einsum") == "slice":
+            return _slice_combine(g, [w[:, c] for c in range(8)], F)
         wc = w if cdt is None else w.astype(cdt)
         return jnp.einsum(
             "kc,kcf->kf", wc, g.reshape(g.shape[0], 8, F)
@@ -1024,6 +1049,16 @@ def _sized_lookup_combine3(
     def plain(table, idx, wx, wy, wz):
         t = table if cdt is None else table.astype(cdt)
         g = jnp.take(t, idx, axis=0)
+        if os.environ.get("NERFACC_COMBINE", "einsum") == "slice":
+            wlist = [
+                (wx if dx else 1.0 - wx)
+                * (wy if dy else 1.0 - wy)
+                * (wz if dz else 1.0 - wz)
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ]
+            return _slice_combine(g, wlist, F)
         if os.environ.get("NERFACC_COMBINE", "einsum") == "mxu":
             # Lane-native combine (MEASURED NEGATIVE, round-4 device A/B:
             # step 48.1 vs 44.7 ms; occ update regressed too).  The idea:

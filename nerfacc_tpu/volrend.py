@@ -17,10 +17,12 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .pack import pack_info  # noqa: F401  (re-exported for API familiarity)
 from .scan import exclusive_prod, exclusive_sum
@@ -209,6 +211,43 @@ def _accumulate_sorted(
     )
 
 
+@jax.custom_vjp
+def _accumulate_sorted_g(src, seg_starts, seg_counts, ray_indices, valid):
+    """:func:`_accumulate_sorted` with the EXACT segment-sum backward.
+
+    Autodiffing the cumsum form costs a reversed cumsum plus a boundary
+    scatter-add of ``dout`` into the (capacity+1, k) prefix cotangent —
+    and that scatter lands as a 2-D *column* scatter in the prefix's
+    lane-major layout (trace: fusion.21 = 1.35 ms + reduce-window.16 =
+    0.45 ms per step at 512k x 5).  The true VJP of a sorted segment sum
+    is just ``dsrc[i] = dout[ray_of_slot_i]`` — one row gather by the
+    ``ray_indices`` the caller already holds, masked by segment
+    membership (``valid``).  Exact (no prefix-difference rounding) and
+    scatter-free.
+    """
+    return _accumulate_sorted(src, seg_starts, seg_counts)
+
+
+def _accumulate_sorted_g_fwd(src, seg_starts, seg_counts, ray_indices, valid):
+    out = _accumulate_sorted(src, seg_starts, seg_counts)
+    return out, (seg_starts, seg_counts, ray_indices, valid)
+
+
+def _accumulate_sorted_g_bwd(res, dout):
+    seg_starts, seg_counts, ray_indices, valid = res
+    n_rays = dout.shape[0]
+    d = jnp.take(dout, jnp.clip(ray_indices, 0, n_rays - 1), axis=0)
+    d = jnp.where(valid[:, None], d, 0.0)
+
+    def f0(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return d, f0(seg_starts), f0(seg_counts), f0(ray_indices), f0(valid)
+
+
+_accumulate_sorted_g.defvjp(_accumulate_sorted_g_fwd, _accumulate_sorted_g_bwd)
+
+
 def rendering(
     t_starts: Array,
     t_ends: Array,
@@ -289,7 +328,14 @@ def rendering(
             ],
             axis=-1,
         )  # (capacity, 5)
-        acc = _accumulate_sorted(src, *seg_bounds)
+        if is_valid is not None and os.environ.get(
+            "NERFACC_ACCUM_BWD", "cumsum"
+        ) == "gather":
+            acc = _accumulate_sorted_g(
+                src, *seg_bounds, ray_indices, is_valid
+            )
+        else:
+            acc = _accumulate_sorted(src, *seg_bounds)
         colors = acc[:, 0:3]
         opacities = acc[:, 3:4]
         depths = acc[:, 4:5]

@@ -277,3 +277,23 @@ def test_cell_max_sorted_occ_scale_values():
         cell_max_sorted(ids, vals, n_cells=n_cells, WC=4096, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_slice_combine_matches_einsum():
+    """``NERFACC_COMBINE=slice`` (row-major lane-slice corner combine, the
+    relayout-free forward) matches the einsum contraction to bf16 ulp."""
+    import numpy as np
+
+    from nerfacc_tpu.ops.table_grad import _slice_combine
+
+    rng = np.random.default_rng(5)
+    N, F = 1024, 16
+    g = jnp.asarray(rng.standard_normal((N, 8 * F)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w = jnp.asarray(rng.random((N, 8), dtype=np.float32))
+    want = jnp.einsum(
+        "kc,kcf->kf", w.astype(jnp.bfloat16), g.reshape(N, 8, F)
+    ).astype(jnp.float32)
+    got = _slice_combine(g, [w[:, c] for c in range(8)], F).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0.05)

@@ -76,6 +76,34 @@ def test_accumulate_along_rays():
     )
 
 
+def test_accumulate_sorted_gather_backward():
+    """The scatter-free segment-sum VJP (``_accumulate_sorted_g``) matches
+    autodiff through the cumsum form — forward and gradient — including
+    garbage ray indices at padding slots."""
+    from nerfacc_tpu import volrend as vr
+
+    rng = np.random.default_rng(3)
+    n_rays, cap = 16, 128
+    counts = rng.integers(0, 9, n_rays).astype(np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    ray_idx = np.full(cap, n_rays + 5, np.int32)
+    valid = np.zeros(cap, bool)
+    for r in range(n_rays):
+        ray_idx[starts[r] : starts[r] + counts[r]] = r
+        valid[starts[r] : starts[r] + counts[r]] = True
+    src = rng.standard_normal((cap, 5)).astype(np.float32)
+    src[~valid] = 0.0
+    S, C, RI, V = map(jnp.asarray, (starts, counts, ray_idx, valid))
+    srcj = jnp.asarray(src)
+
+    f_ref = lambda s: jnp.sum(jnp.sin(vr._accumulate_sorted(s, S, C)))
+    f_g = lambda s: jnp.sum(jnp.sin(vr._accumulate_sorted_g(s, S, C, RI, V)))
+    np.testing.assert_allclose(f_ref(srcj), f_g(srcj), rtol=1e-6)
+    np.testing.assert_allclose(
+        jax.grad(f_ref)(srcj), jax.grad(f_g)(srcj), atol=1e-5
+    )
+
+
 def test_golden_grads():
     """The reference's hard-coded golden weights/gradients, checked across
     all equivalent formulations (test_rendering.py:110-193)."""
