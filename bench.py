@@ -143,16 +143,31 @@ def throughput_phase():
     # the gathers do not fuse.
     use_soa = os.environ.get("BENCH_SOA", "0") == "1" and not paired
 
+    # One 6-wide per-sample gather instead of two 3-wide ones: gathers cost
+    # per *index*, not per row byte, and each (n, 3) gather drags its own
+    # lane-layout copy behind it (trace: fusion.8/9 + copy.214/215 =
+    # 2.6 ms/step).  BENCH_OD_FUSED=0 restores the split gathers for A/B.
+    od = jnp.concatenate([rays_o, rays_d], axis=-1)
+    od_fused = os.environ.get("BENCH_OD_FUSED", "1") == "1"
+
+    def _gather_od(ri):
+        if od_fused:
+            g = jnp.take(od, ri, axis=0)
+            return g[:, :3], g[:, 3:]
+        return rays_o[ri], rays_d[ri]
+
     def make_fns(params):
         def sigma_fn(ts, te, ri):
-            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
+            o, d = _gather_od(ri)
+            x = o + ((ts + te) / 2)[:, None] * d
             return field.apply(
                 params, x, paired_levels=paired, method="query_density"
             )[..., 0]
 
         def rgb_sigma_fn(ts, te, ri):
-            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            rgb, sigma = field.apply(params, x, rays_d[ri], paired_levels=paired)
+            o, d = _gather_od(ri)
+            x = o + ((ts + te) / 2)[:, None] * d
+            rgb, sigma = field.apply(params, x, d, paired_levels=paired)
             return rgb, sigma[..., 0]
 
         def rgb_sigma_soa_fn(o, d, ts, te):
@@ -336,9 +351,17 @@ class _QualityRun:
         self.opt_state = tx.init(self.params)
 
         def make_fns(params, rays_o, rays_d):
+            od = jnp.concatenate([rays_o, rays_d], axis=-1)
+            od_fused = os.environ.get("BENCH_OD_FUSED", "1") == "1"
+
             def rgb_sigma_fn(ts, te, ri):
-                x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-                rgb, sigma = field.apply(params, x, rays_d[ri])
+                if od_fused:
+                    g = jnp.take(od, ri, axis=0)
+                    o, d = g[:, :3], g[:, 3:]
+                else:
+                    o, d = rays_o[ri], rays_d[ri]
+                x = o + ((ts + te) / 2)[:, None] * d
+                rgb, sigma = field.apply(params, x, d)
                 return rgb, sigma[..., 0]
 
             return rgb_sigma_fn

@@ -938,6 +938,7 @@ def _sized_lookup_combine(
                 sorted_ops = jax.lax.sort(
                     (idl,) + tuple(cols[:, c] for c in range(nc)),
                     num_keys=1,
+                    is_stable=False,
                 )
                 sidx = sorted_ops[0]
                 sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
@@ -1196,6 +1197,7 @@ def _sized_lookup_combine3(
                     (idx - base0, wq)
                     + tuple(dcols[:, c] for c in range(n_dcols)),
                     num_keys=1,
+                    is_stable=False,
                 )
                 dt_s = jnp.stack(sorted_ops[2:], axis=0)  # (n_dcols, N) i32
                 dout_t = _unpack_dout(dt_s, F)
@@ -1213,6 +1215,7 @@ def _sized_lookup_combine3(
                     (idx[sl] - base, wq[sl])
                     + tuple(dcols[sl, c] for c in range(n_dcols)),
                     num_keys=1,
+                    is_stable=False,
                 )
                 # MEASURED NEGATIVE (round-4 device A/B, 40.9 vs 38.86
                 # ms step): consuming the raw i32 pair columns and
@@ -1257,6 +1260,7 @@ def _sized_lookup_combine3(
                 sorted_ops = jax.lax.sort(
                     (idl,) + tuple(cols[:, c] for c in range(nc)),
                     num_keys=1,
+                    is_stable=False,
                 )
                 sidx = sorted_ops[0]
                 sc = jnp.stack(sorted_ops[1:], axis=0)  # (nc, m) i32
@@ -1751,6 +1755,7 @@ def _sized_lookup_combine_pos(
                 (idx[sl] - sp * span, px, py, pz)
                 + tuple(dcols[sl, c] for c in range(JgF // 2)),
                 num_keys=1,
+                is_stable=False,
             )
             pos_t = jax.lax.bitcast_convert_type(
                 jnp.stack(sorted_ops[1:4], axis=0), jnp.float32

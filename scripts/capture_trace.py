@@ -169,8 +169,17 @@ def main() -> None:
             lambda x: field.apply(params, x, method="query_density")
             * step_size
         )
-        return est._update(state, step=10**9, occ_eval_fn=occ_eval_fn,
-                           key=key)
+        return est._update(
+            state, step=10**9, occ_eval_fn=occ_eval_fn, key=key,
+            # Mirror bench.py's shipped config (SoA probe positions for the
+            # fused/grouped encoders) so the trace profiles what the driver
+            # measures.
+            soa_positions=(
+                os.environ.get("BENCH_OCC_SOA", "1") == "1"
+                and os.environ.get("BENCH_ENCODER", "fused")
+                in ("fused", "grouped")
+            ),
+        )
 
     key = jax.random.PRNGKey(0)
     if args.dump_hlo:

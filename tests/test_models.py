@@ -683,8 +683,12 @@ def test_fused_factor_u10_pack_matches_w3(monkeypatch):
 def test_fused_factor_batched_sort_matches_per_level(monkeypatch):
     """NERFACC_FACTOR_BATCH=1 (ONE cross-level sort + ONE kernel over the
     whole table instead of per-level ones) must reproduce the per-level
-    u10 gradients bit-exactly: the keys are globally unique per level span,
-    so batching only changes the partitioning of identical work."""
+    u10 gradients: the keys are globally unique per level span, so batching
+    only changes the partitioning of identical work.  Tolerance is a few
+    f32 ulps, not bit-exact: the factor sorts run ``is_stable=False`` (the
+    stability iota operand costs ~0.15 ms/sort of carry for nothing the
+    kernel needs), so addition order within equal keys is
+    implementation-defined."""
     from nerfacc_tpu.models.hash_soa import HashGridEncoderFused
 
     kw = dict(n_levels=4, n_features_per_level=16, log2_hashmap_size=9,
@@ -709,7 +713,9 @@ def test_fused_factor_batched_sort_matches_per_level(monkeypatch):
     monkeypatch.delenv("NERFACC_FACTOR_BATCH")
     monkeypatch.delenv("NERFACC_FACTOR_PACK")
     jax.clear_caches()
-    np.testing.assert_array_equal(np.asarray(g_bat), np.asarray(g_per))
+    np.testing.assert_allclose(
+        np.asarray(g_bat), np.asarray(g_per), rtol=3e-6, atol=1e-7
+    )
 
 
 def test_fused_factor_lanes_unpack_matches_t3(monkeypatch):
