@@ -442,13 +442,19 @@ class OccGridEstimator(AbstractEstimator):
                     # XLA's TPU scatter is serial per index while its sort
                     # is parallel (same physics as the compaction and
                     # table-gradient wins).
+                    # Unstable: the keys are all distinct, so the stability
+                    # iota (a second carried operand JAX adds silently)
+                    # buys nothing — round-5 occ trace: sort.8 = 2.5 ms of
+                    # the update was 2-operand for a 1-array sort.
                     occupied_cells = jax.lax.sort(
-                        jnp.where(
+                        (jnp.where(
                             occ_mask,
                             cell_arange,
                             self.cells_per_lvl + cell_arange,
-                        )
-                    )
+                        ),),
+                        num_keys=1,
+                        is_stable=False,
+                    )[0]
                 else:
                     cdf = jnp.cumsum(occ_mask.astype(jnp.int32))
                     occupied_cells = (
@@ -464,7 +470,55 @@ class OccGridEstimator(AbstractEstimator):
                         ]
                         .set(cell_arange, mode="drop", unique_indices=True)
                     )
-                if os.environ.get("NERFACC_OCC_DRAW", "sys") == "sys":
+                draw_mode = os.environ.get("NERFACC_OCC_DRAW", "sysrow")
+                if draw_mode == "sysrow":
+                    # Row-granular systematic draw: gather 128-wide ROWS of
+                    # the sorted occupied list instead of n scalar elements.
+                    # A 1-D scalar gather costs ~7 ns per 4 B transaction
+                    # (3.74 ms for 512k draws in the round-5 occ trace);
+                    # 4k row gathers move the same volume in ~0.03 ms.  The
+                    # draw becomes block-stratified — each drawn row is 128
+                    # consecutive ranks of the sorted occupied list — but
+                    # marginally each occupied cell is still drawn with
+                    # probability ~n/total per update (row ranks stride the
+                    # whole list from one random offset), and every probe
+                    # keeps its own intra-cell jitter, so duplicate draws
+                    # when total < n remain useful max-refresh probes.
+                    ROWW = 128
+                    n_rows_draw = n_cells // ROWW
+                    total_rows = jnp.maximum(
+                        (total + ROWW - 1) // ROWW, 1
+                    )
+                    off = jax.random.uniform(k_occ, ())
+                    q = (
+                        (jnp.arange(n_rows_draw, dtype=jnp.float32) + off)
+                        * (total_rows.astype(jnp.float32) / n_rows_draw)
+                    ).astype(jnp.int32)
+                    q = jnp.minimum(q, total_rows - 1)
+                    rows = jnp.take(
+                        occupied_cells.reshape(-1, ROWW),
+                        q,
+                        axis=0,
+                        indices_are_sorted=True,
+                    )
+                    drawn = rows.reshape(-1)
+                    # The last occupied row can hold empty-cell sentinels
+                    # (encoded id + cells, sorted past every occupied id):
+                    # decode them back to their own (empty) cell — probing
+                    # an empty cell is exactly what the uniform half does.
+                    drawn = jnp.where(
+                        drawn < self.cells_per_lvl,
+                        drawn,
+                        drawn - self.cells_per_lvl,
+                    )
+                    occupied_idx = jnp.where(
+                        total > 0, drawn, uniform_idx
+                    )
+                    lvl_indices.append(
+                        jnp.concatenate([uniform_idx, occupied_idx])
+                    )
+                    continue
+                if draw_mode == "sys":
                     # Systematic draw: ranks at a fixed fractional stride
                     # from one random offset.  Marginally each occupied
                     # cell is still drawn with probability n/total, and

@@ -636,8 +636,13 @@ def traverse_and_compact(
                 jnp.concatenate([c, jnp.full((pad,), f, jnp.int32)])
                 for c, f in zip(carried, fills)
             ]
+        # Unstable: slot keys are unique by construction (valid chunks get
+        # distinct output slots, invalid ones distinct tail keys), so the
+        # stability iota JAX would append is a pure extra operand through
+        # the merge network (round-5 trace: this sort carried 4 operands
+        # for 3 requested).
         sorted_ops = jax.lax.sort(
-            (keys, vals, *carried), num_keys=1
+            (keys, vals, *carried), num_keys=1, is_stable=False
         )
         packed_sorted = sorted_ops[1]
         live_c = jnp.arange(cap_c, dtype=jnp.int32) < ctotal

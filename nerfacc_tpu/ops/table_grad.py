@@ -1935,7 +1935,9 @@ def cell_max_sorted(
     """
     assert n_cells % WC == 0 and WC % _LANE == 0
     n = ids.shape[0]
-    sidx, svals = jax.lax.sort_key_val(ids, vals)
+    # Unstable: max within a group is order-independent, so the stability
+    # iota operand (a third carried sort column) buys nothing.
+    sidx, svals = jax.lax.sort((ids, vals), num_keys=1, is_stable=False)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sidx[1:] != sidx[:-1]]
     )
