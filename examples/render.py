@@ -24,7 +24,7 @@ import numpy as np
 from nerfacc_tpu.datasets.procedural import make_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.ngp import NGPRadianceField
-from nerfacc_tpu.rendering import occgrid_render_rays_test
+from nerfacc_tpu.rendering import gather_ray_od, occgrid_render_rays_test
 
 
 def main():
@@ -85,8 +85,9 @@ def main():
 
     def builder(rays_o, rays_d):
         def rgb_sigma_fn(ts, te, ri):
-            x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-            rgb, sigma = field.apply(params, x, rays_d[ri])
+            o, d = gather_ray_od(rays_o, rays_d, ri)
+            x = o + ((ts + te) / 2)[:, None] * d
+            rgb, sigma = field.apply(params, x, d)
             return rgb, sigma[..., 0]
 
         return rgb_sigma_fn

@@ -36,7 +36,7 @@ from nerfacc_tpu.models.barf import (
     rays_from_pixels,
     se3_exp,
 )
-from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.rendering import gather_ray_od, occgrid_render_rays
 
 
 def rotation_geodesic_deg(Ra: np.ndarray, Rb: np.ndarray) -> np.ndarray:
@@ -159,15 +159,17 @@ def main():
     def make_fns(fp, rays_o, rays_d, alpha):
         def sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             return field.apply(
                 fp, x, alpha, method="query_density"
             )[..., 0]
 
         def rgb_sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
-            rgb, sigma = field.apply(fp, x, rays_d[ray_indices], alpha)
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
+            rgb, sigma = field.apply(fp, x, d, alpha)
             return rgb, sigma[..., 0]
 
         return sigma_fn, rgb_sigma_fn

@@ -31,7 +31,7 @@ from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
 from nerfacc_tpu.datasets.procedural import make_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.mlp import VanillaNeRFRadianceField
-from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.rendering import gather_ray_od, occgrid_render_rays
 from nerfacc_tpu.utils.checkpoint import (
     latest_step,
     restore_checkpoint,
@@ -114,15 +114,17 @@ def main():
         print(f"resumed from {args.model_path} at step {start_step}")
 
     def make_fns(params, rays_o, rays_d):
+        # One fused (n, 6) od gather per callback (see gather_ray_od).
         def sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             return field.apply(params, x, method="query_density")[..., 0]
 
         def rgb_sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
-            d = rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             rgb, sigma = field.apply(params, x, d)
             return rgb, sigma[..., 0]
 

@@ -23,7 +23,7 @@ from nerfacc_tpu.datasets.dnerf_synthetic import SubjectLoader
 from nerfacc_tpu.datasets.procedural import make_dynamic_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.mlp import TNeRFRadianceField
-from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.rendering import gather_ray_od, occgrid_render_rays
 
 DNERF_SCENES = [
     "bouncingballs", "hellwarrior", "hook", "jumpingjacks",
@@ -115,15 +115,16 @@ def main():
     def make_fns(params, rays_o, rays_d, timestamps):
         def sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             t = timestamps[ray_indices]
             return field.apply(params, x, t, method="query_density")[..., 0]
 
         def rgb_sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             t = timestamps[ray_indices]
-            d = rays_d[ray_indices]
             rgb, sigma = field.apply(params, x, t, d)
             return rgb, sigma[..., 0]
 

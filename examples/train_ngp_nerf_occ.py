@@ -34,7 +34,7 @@ from nerfacc_tpu.datasets.nerf_synthetic import SubjectLoader
 from nerfacc_tpu.datasets.procedural import make_loaders
 from nerfacc_tpu.estimators.occ_grid import OccGridEstimator
 from nerfacc_tpu.models.ngp import NGPRadianceField
-from nerfacc_tpu.rendering import occgrid_render_rays
+from nerfacc_tpu.rendering import gather_ray_od, occgrid_render_rays
 from nerfacc_tpu.utils.checkpoint import (
     latest_step,
     restore_checkpoint,
@@ -239,15 +239,17 @@ def main():
     eval_chunk = 2048 if args.smoke else 8192
 
     def make_fns(params, rays_o, rays_d):
+        # One fused (n, 6) od gather per callback (see gather_ray_od).
         def sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             return field.apply(params, x, method="query_density")[..., 0]
 
         def rgb_sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
-            d = rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             rgb, sigma = field.apply(params, x, d)
             return rgb, sigma[..., 0]
 

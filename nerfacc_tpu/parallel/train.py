@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 import optax
 
 from ..estimators.occ_grid import OccGridEstimator
-from ..rendering import occgrid_render_rays
+from ..rendering import gather_ray_od, occgrid_render_rays
 
 Array = jnp.ndarray
 
@@ -72,15 +72,17 @@ def make_parallel_train_step(
         axis = tuple(mesh.axis_names)
 
     def make_fns(params, rays_o, rays_d):
+        # One fused (n, 6) od gather per callback (see gather_ray_od).
         def sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             return field.apply(params, x, method="query_density")[..., 0]
 
         def rgb_sigma_fn(t_starts, t_ends, ray_indices):
             t_mid = (t_starts + t_ends) / 2.0
-            x = rays_o[ray_indices] + t_mid[:, None] * rays_d[ray_indices]
-            d = rays_d[ray_indices]
+            o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+            x = o + t_mid[:, None] * d
             rgb, sigma = field.apply(params, x, d)
             return rgb, sigma[..., 0]
 
@@ -381,8 +383,9 @@ def make_parallel_test_renderer(
         t_ends = jnp.where(kept, t_ends, t_starts)
 
         tm = (t_starts + t_ends) / 2.0
-        x = rays_o[ray_indices] + tm[:, None] * rays_d[ray_indices]
-        rgbs, sigmas = field.apply(params, x, rays_d[ray_indices])
+        o, d = gather_ray_od(rays_o, rays_d, ray_indices)
+        x = o + tm[:, None] * d
+        rgbs, sigmas = field.apply(params, x, d)
         sigmas = jnp.where(kept, sigmas[..., 0], 0.0)
         weights, _, alphas = render_weight_from_density(
             t_starts,

@@ -35,6 +35,24 @@ from .volrend import (
 Array = jnp.ndarray
 
 
+def gather_ray_od(
+    rays_o: Array, rays_d: Array, ray_indices: Array
+) -> Tuple[Array, Array]:
+    """Per-sample ``(origins, directions)`` via ONE fused ``(n, 6)`` row
+    gather.
+
+    ``rays_o[ri]`` + ``rays_d[ri]`` cost two indexed gathers plus two
+    lane-layout copies — gathers are priced per *index*, not per row byte
+    (round-5 device A/B: one 6-wide gather cut the NGP-occ train step
+    38.01 -> 36.08 ms at 16k rays / 2^19 samples).  Use this in field
+    callbacks that need both origin and direction per sample.
+    """
+    g = jnp.take(
+        jnp.concatenate([rays_o, rays_d], axis=-1), ray_indices, axis=0
+    )
+    return g[:, :3], g[:, 3:]
+
+
 def chunked_ray_components(
     rays_o: Array,
     rays_d: Array,
