@@ -146,8 +146,10 @@ def main() -> None:
     def train_step(params, opt, key):
         def loss_fn(p):
             def rgb_sigma_fn(ts, te, ri):
-                x = rays_o[ri] + ((ts + te) / 2)[:, None] * rays_d[ri]
-                rgb, s = field.apply(p, x, rays_d[ri])
+                from nerfacc_tpu.rendering import gather_ray_od
+                o, d = gather_ray_od(rays_o, rays_d, ri)
+                x = o + ((ts + te) / 2)[:, None] * d
+                rgb, s = field.apply(p, x, d)
                 return rgb, s[..., 0]
 
             c, _, _, n, _ = occgrid_render_rays(
